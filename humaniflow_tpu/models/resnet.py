@@ -1,0 +1,104 @@
+"""ResNet image encoder (flax.linen), torchvision-layout compatible.
+
+Capability parity with reference `models/resnet.py` (resnet18:229,
+resnet50:251): configurable in_channels (18 for the proxy representation),
+final FC removed, global average pool output (512-d / 2048-d).
+
+TPU-first: NHWC layout (XLA's preferred conv layout), bf16-friendly compute
+with f32 batch-norm statistics.  Module/parameter names mirror torchvision
+(conv1, bn1, layer1..layer4, blockN.convM) so the torch checkpoint converter
+is a mechanical name map (utils/convert_torch.py).
+"""
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features, (1, 1), (self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), (self.strides, self.strides), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * 4, (1, 1), (self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Feature-extractor ResNet: returns pooled (B, C) features (no FC)."""
+
+    stage_sizes: Sequence[int]
+    block: ModuleDef
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """:param x: (B, H, W, C) NHWC input."""
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, num_blocks in enumerate(self.stage_sizes):
+            features = 64 * 2**i
+            for j in range(num_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                x = self.block(features, strides, norm, self.dtype,
+                               name=f"layer{i + 1}_block{j}")(x)
+        return jnp.mean(x, axis=(1, 2))  # global average pool → (B, C)
+
+
+def resnet18(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock, dtype=dtype)
+
+
+def resnet50(dtype=jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, dtype=dtype)
+
+
+RESNET_FEAT_DIMS = {18: 512, 50: 2048}

@@ -1,0 +1,251 @@
+"""SMPL body model as pure JAX (blend shapes + pose blendshapes + LBS).
+
+Capability parity with the reference's smplx-based wrapper (models/smpl.py:13,
+smplx 0.1.26 SMPL + 3 extra regressor stacks): identical output joint layout —
+24 kinematic joints, 21 vertex-picked landmarks (smplx VertexJointSelector
+order), then extra(9) + cocoplus(19) + h36m(17) regressed joints → 90 total.
+
+TPU-first: the whole forward is fused einsums over static shapes (blend
+shapes, pose-corrective blendshapes, rigid kinematic chain, LBS), jit/vmap
+friendly, and runs in f32 (accumulation forced to f32 via HIGHEST precision
+where it matters).  Gendered variants are just different parameter pytrees.
+"""
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.so3 import so3_exp
+
+# Standard SMPL kinematic tree (24 joints).
+SMPL_PARENTS = (
+    -1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+    19, 20, 21,
+)
+NUM_SMPL_JOINTS = 24
+NUM_BODYPARTS = 23  # non-root joints, the flow-modelled parts
+
+# smplx VertexJointSelector vertex ids (vertex_ids.py 'smplh'):
+# 5 face + 6 feet + 10 fingertips, in this exact order.
+_EXTRA_VERTEX_IDS = (
+    332, 6260, 2800, 4071, 583,            # nose, reye, leye, rear, lear
+    3216, 3226, 3387, 6617, 6624, 6787,    # LBigToe/LSmallToe/LHeel, R...
+    2746, 2319, 2445, 2556, 2673,          # left thumb/index/middle/ring/pinky
+    6191, 5782, 5905, 6016, 6133,          # right thumb/index/middle/ring/pinky
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SMPLModel:
+    """Parameter container (registered pytree so it can cross jit boundaries)."""
+
+    v_template: jax.Array      # (V, 3)
+    shapedirs: jax.Array       # (V, 3, num_betas)
+    posedirs: jax.Array        # (23*9, V*3) pose-corrective blendshapes
+    j_regressor: jax.Array     # (24, V)
+    lbs_weights: jax.Array     # (V, 24)
+    faces: jax.Array           # (F, 3) int32
+    extra_joint_vertex_ids: jax.Array  # (21,) int32
+    j_regressor_extra: Optional[jax.Array] = None     # (9, V)
+    j_regressor_cocoplus: Optional[jax.Array] = None  # (19, V)
+    j_regressor_h36m: Optional[jax.Array] = None      # (17, V)
+
+    def tree_flatten(self):
+        children = (
+            self.v_template, self.shapedirs, self.posedirs, self.j_regressor,
+            self.lbs_weights, self.faces, self.extra_joint_vertex_ids,
+            self.j_regressor_extra, self.j_regressor_cocoplus,
+            self.j_regressor_h36m,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_verts(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def num_betas(self) -> int:
+        return self.shapedirs.shape[-1]
+
+
+def load_smpl_npz(path: str, regressor_paths: Optional[dict] = None) -> SMPLModel:
+    """Load a converted SMPL .npz (see utils/convert_torch.convert_smpl_pkl)."""
+    data = np.load(path)
+    extra = {}
+    if regressor_paths:
+        for name, p in regressor_paths.items():
+            if p is not None and os.path.exists(p):
+                extra[name] = jnp.asarray(np.load(p).astype(np.float32))
+    return SMPLModel(
+        v_template=jnp.asarray(data["v_template"].astype(np.float32)),
+        shapedirs=jnp.asarray(data["shapedirs"].astype(np.float32)[..., :10]),
+        posedirs=jnp.asarray(data["posedirs"].astype(np.float32)),
+        j_regressor=jnp.asarray(data["J_regressor"].astype(np.float32)),
+        lbs_weights=jnp.asarray(data["weights"].astype(np.float32)),
+        faces=jnp.asarray(data["f"].astype(np.int32)),
+        extra_joint_vertex_ids=jnp.asarray(np.array(_EXTRA_VERTEX_IDS, np.int32)),
+        j_regressor_extra=extra.get("extra"),
+        j_regressor_cocoplus=extra.get("cocoplus"),
+        j_regressor_h36m=extra.get("h36m"),
+    )
+
+
+def convert_smpl_pkl(pkl_path: str, npz_path: str):
+    """One-off converter: SMPL .pkl (chumpy arrays) → plain .npz.
+
+    The posedirs are reshaped to (207, V*3) for a single fused matmul.
+    """
+    with open(pkl_path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+
+    def arr(x):
+        return np.array(x, dtype=np.float64)
+
+    j_reg = data["J_regressor"]
+    if hasattr(j_reg, "toarray"):
+        j_reg = j_reg.toarray()
+    posedirs = arr(data["posedirs"])  # (V, 3, 207)
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # (207, V*3)
+    np.savez(
+        npz_path,
+        v_template=arr(data["v_template"]),
+        shapedirs=arr(data["shapedirs"]),
+        posedirs=posedirs,
+        J_regressor=arr(j_reg),
+        weights=arr(data["weights"]),
+        f=np.array(data["f"], np.int64),
+    )
+
+
+def synthetic_smpl(num_verts: int = 128, num_betas: int = 10, seed: int = 0) -> SMPLModel:
+    """Deterministic synthetic SMPL-structured model for tests/benchmarks when
+    the real (licensed, externally downloaded) SMPL pkls are absent — same
+    situation as the reference repo, which also ships without them."""
+    rng = np.random.default_rng(seed)
+    v = num_verts
+    # joints laid out as a rough skeleton; vertices scattered around them
+    joints = rng.normal(scale=0.3, size=(NUM_SMPL_JOINTS, 3))
+    verts = joints[rng.integers(0, NUM_SMPL_JOINTS, v)] + rng.normal(scale=0.05, size=(v, 3))
+    # j_regressor: soft assignment to nearest joints
+    d2 = ((verts[:, None] - joints[None]) ** 2).sum(-1)
+    w = np.exp(-d2 / 0.01)
+    j_reg = (w / w.sum(0, keepdims=True)).T
+    lbs_w = w / w.sum(1, keepdims=True)
+    faces = rng.integers(0, v, size=(2 * v, 3))
+    return SMPLModel(
+        v_template=jnp.asarray(verts, jnp.float32),
+        shapedirs=jnp.asarray(rng.normal(scale=0.01, size=(v, 3, num_betas)), jnp.float32),
+        posedirs=jnp.asarray(rng.normal(scale=0.001, size=(23 * 9, v * 3)), jnp.float32),
+        j_regressor=jnp.asarray(j_reg, jnp.float32),
+        lbs_weights=jnp.asarray(lbs_w, jnp.float32),
+        faces=jnp.asarray(faces, jnp.int32),
+        extra_joint_vertex_ids=jnp.asarray(
+            np.array(_EXTRA_VERTEX_IDS, np.int64) % v, jnp.int32
+        ),
+        j_regressor_extra=jnp.asarray(rng.normal(size=(9, v)) / v, jnp.float32),
+        j_regressor_cocoplus=jnp.asarray(rng.normal(size=(19, v)) / v, jnp.float32),
+        j_regressor_h36m=jnp.asarray(rng.normal(size=(17, v)) / v, jnp.float32),
+    )
+
+
+def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):
+    """Forward-kinematic chain: per-joint world transforms + LBS-relative
+    transforms (smplx lbs.batch_rigid_transform equivalent).
+
+    :param rot_mats: (B, 24, 3, 3); :param joints: (B, 24, 3) rest joints.
+    :return: (posed_joints (B, 24, 3), rel_transforms (B, 24, 4, 4))
+    """
+    hi = jax.lax.Precision.HIGHEST
+    rel_joints = joints.at[:, 1:].add(-joints[:, list(SMPL_PARENTS[1:])])
+
+    def make_tf(rot, t):
+        tf = jnp.concatenate([rot, t[..., None]], axis=-1)  # (B, 3, 4)
+        bottom = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 0.0, 1.0], rot.dtype), tf.shape[:-2] + (1, 4)
+        )
+        return jnp.concatenate([tf, bottom], axis=-2)
+
+    transforms = [make_tf(rot_mats[:, 0], rel_joints[:, 0])]
+    for i in range(1, NUM_SMPL_JOINTS):
+        local = make_tf(rot_mats[:, i], rel_joints[:, i])
+        transforms.append(
+            jnp.matmul(transforms[SMPL_PARENTS[i]], local, precision=hi)
+        )
+    world = jnp.stack(transforms, axis=1)  # (B, 24, 4, 4)
+
+    posed_joints = world[..., :3, 3]
+    # Relative transform: subtract the rest-pose joint contribution.
+    correction = jnp.einsum("bjik,bjk->bji", world[..., :3, :3], joints, precision=hi)
+    rel = world.at[..., :3, 3].add(-correction)
+    return posed_joints, rel
+
+
+def smpl_forward(
+    model: SMPLModel,
+    betas: jax.Array,
+    body_pose: jax.Array,
+    global_orient: jax.Array,
+    pose2rot: bool = False,
+):
+    """SMPL forward pass.
+
+    :param betas: (B, num_betas)
+    :param body_pose: (B, 23, 3, 3) rotmats, or (B, 69) axis-angle if pose2rot
+    :param global_orient: (B, 3, 3) rotmat, or (B, 3) axis-angle if pose2rot
+    :return: dict with 'vertices' (B, V, 3) and 'joints' (B, 90, 3) —
+        ordering matches the reference wrapper (models/smpl.py:27-41).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    b = betas.shape[0]
+    if pose2rot:
+        body_pose = so3_exp(body_pose.reshape(b, 23, 3))
+        global_orient = so3_exp(global_orient.reshape(b, 3))
+    rot_mats = jnp.concatenate([global_orient[:, None], body_pose], axis=1)  # (B,24,3,3)
+
+    # Shape blendshapes
+    v_shaped = model.v_template + jnp.einsum(
+        "bl,vkl->bvk", betas, model.shapedirs, precision=hi
+    )
+    joints_rest = jnp.einsum("jv,bvk->bjk", model.j_regressor, v_shaped, precision=hi)
+
+    # Pose-corrective blendshapes from non-root rotations
+    eye = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - eye).reshape(b, -1)  # (B, 207)
+    pose_offsets = jnp.matmul(pose_feature, model.posedirs, precision=hi).reshape(
+        b, -1, 3
+    )
+    v_posed = v_shaped + pose_offsets
+
+    # Kinematic chain + LBS
+    posed_joints, rel_tf = _rigid_transform_chain(rot_mats, joints_rest)
+    vert_tf = jnp.einsum("vj,bjik->bvik", model.lbs_weights, rel_tf, precision=hi)
+    verts = (
+        jnp.einsum("bvik,bvk->bvi", vert_tf[..., :3, :3], v_posed, precision=hi)
+        + vert_tf[..., :3, 3]
+    )
+
+    # Joint set: 24 kinematic + 21 vertex landmarks + regressed stacks
+    extra_verts = verts[:, model.extra_joint_vertex_ids]
+    joints = [posed_joints, extra_verts]
+    for reg in (
+        model.j_regressor_extra,
+        model.j_regressor_cocoplus,
+        model.j_regressor_h36m,
+    ):
+        if reg is not None:
+            joints.append(jnp.einsum("jv,bvk->bjk", reg, verts, precision=hi))
+    return {
+        "vertices": verts,
+        "joints": jnp.concatenate(joints, axis=1),
+        "smpl_joints": posed_joints,
+    }
