@@ -152,14 +152,20 @@ class HumaniflowConfig:
 
 
 @dataclass
+class OptimiseLossWeights:
+    JOINTS2D: float = 1.0
+    POSE_PRIOR: float = 0.3
+    SHAPE_PRIOR: float = 1.0
+
+
+@dataclass
 class OptimiseConfig:
     """reference: configs/optimise_config.py"""
 
     LR: float = 1e-4
     NUM_ITERS: int = 81
-    J2D_LOSS_WEIGHT: float = 1.0
-    POSE_PRIOR_WEIGHT: float = 0.3
-    SHAPE_PRIOR_WEIGHT: float = 1.0
+    JOINTS2D_VISIB_THRESHOLD: float = 0.75
+    LOSS_WEIGHTS: OptimiseLossWeights = field(default_factory=OptimiseLossWeights)
 
 
 def get_humaniflow_cfg_defaults() -> HumaniflowConfig:

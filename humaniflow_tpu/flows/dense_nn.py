@@ -64,8 +64,16 @@ def apply_dense_nn(params, x, context, param_dims: Sequence[int]):
         # "...i,...io->...o": contracts the feature dim while right-aligned
         # broadcasting matches a stacked (P, in, out) kernel against inputs
         # carrying a part axis (..., P, in) — one batched MXU matmul across
-        # batch × samples × parts.
-        h = jnp.einsum("...i,...io->...o", h, layer["kernel"]) + layer["bias"]
+        # batch × samples × parts.  HIGHEST precision: these tiny hypernet
+        # matmuls feed log-densities where TPU bf16 default noise (~1e-3)
+        # breaks invertibility/parity; the cost is negligible next to convs.
+        h = (
+            jnp.einsum(
+                "...i,...io->...o", h, layer["kernel"],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + layer["bias"]
+        )
         if i < n_layers - 1:
             h = jax.nn.relu(h)
     if len(param_dims) == 1:

@@ -253,8 +253,9 @@ class ConditionalLinearPLU:
     def forward(self, params, x, context):
         l_mat, u_mat, u_diag = self._lu(params, context)
         p = self._perm_matrix.astype(x.dtype)
-        w = jnp.einsum("ij,...jk,...kl->...il", p, l_mat, u_mat)
-        y = jnp.einsum("...ij,...j->...i", w, x)
+        hi = jax.lax.Precision.HIGHEST
+        w = jnp.einsum("ij,...jk,...kl->...il", p, l_mat, u_mat, precision=hi)
+        y = jnp.einsum("...ij,...j->...i", w, x, precision=hi)
         log_det = jnp.sum(jnp.log(jnp.abs(u_diag)), axis=-1)
         return y, jnp.broadcast_to(log_det, x.shape[:-1])
 
@@ -262,7 +263,7 @@ class ConditionalLinearPLU:
         l_mat, u_mat, u_diag = self._lu(params, context)
         p = self._perm_matrix.astype(y.dtype)
         # Solve P L U x = y  →  L U x = Pᵀ y, then two triangular solves.
-        rhs = jnp.einsum("ji,...j->...i", p, y)[..., None]
+        rhs = jnp.einsum("ji,...j->...i", p, y, precision=jax.lax.Precision.HIGHEST)[..., None]
         ux = jax.scipy.linalg.solve_triangular(l_mat, rhs, lower=True)
         x = jax.scipy.linalg.solve_triangular(u_mat, ux, lower=False)[..., 0]
         log_det = jnp.sum(jnp.log(jnp.abs(u_diag)), axis=-1)

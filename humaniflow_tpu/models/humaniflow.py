@@ -60,7 +60,12 @@ def _linear_init(key, fan_in, fan_out, dtype=jnp.float32):
 
 
 def _dense(params, x):
-    return jnp.matmul(x, params["kernel"]) + params["bias"]
+    # head matmuls are tiny; keep them f32-exact on TPU (bf16 default noise
+    # propagates into rotations/densities)
+    return (
+        jnp.matmul(x, params["kernel"], precision=jax.lax.Precision.HIGHEST)
+        + params["bias"]
+    )
 
 
 class HumaniflowModel:
@@ -197,7 +202,12 @@ class HumaniflowModel:
         ctx_in = jnp.concatenate([isgc_b, anc_flat], axis=-1)  # (..., P, 319)
         w = params["fc_flow_context"]["kernel"][parts_arr]  # (P, in, ctx)
         b = params["fc_flow_context"]["bias"][parts_arr]
-        ctx = jnp.einsum("...pi,pio->...po", ctx_in, w) + b
+        ctx = (
+            jnp.einsum(
+                "...pi,pio->...po", ctx_in, w, precision=jax.lax.Precision.HIGHEST
+            )
+            + b
+        )
         return jax.nn.elu(ctx)
 
     def _part_flow_params(self, params, parts):

@@ -1,0 +1,21 @@
+from .evaluate import evaluate_humaniflow, make_eval_step
+from .optimise import optimise_batch_with_humaniflow_prior
+from .predict import (
+    build_proxy_representation,
+    make_predict_fn,
+    predict_humaniflow,
+    save_pred_output,
+)
+from .train_step import make_train_step, predict_joints2d
+
+__all__ = [
+    "evaluate_humaniflow",
+    "make_eval_step",
+    "optimise_batch_with_humaniflow_prior",
+    "build_proxy_representation",
+    "make_predict_fn",
+    "predict_humaniflow",
+    "save_pred_output",
+    "make_train_step",
+    "predict_joints2d",
+]

@@ -1,0 +1,254 @@
+"""Distribution-aware evaluation on SSP-3D / 3DPW.
+
+Capability parity with reference `evaluate/evaluate_humaniflow.py:18-286`:
+proxy construction (Canny edges + dataset heatmaps), N-sample forward,
+gendered SMPL targets (male forward + female overwrite by gender mask,
+:90-110), neutral-SMPL predictions (point estimate, T-pose, per-sample
+meshes), 2D projections with the x-flip camera convention, optional
+silhouette rendering, EvalMetricsTracker accumulation, per-frame npy dumps.
+
+TPU-first: ONE jitted eval_step computes proxy → forward → all SMPL passes →
+projections for the whole batch (the reference re-runs SMPL at B·N in eager
+torch and loops silhouette renders per sample, :218-224); metric math also
+runs on device (metrics/eval_metrics.py).
+"""
+
+import math
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.defaults import HumaniflowConfig
+from ..data.label_conversions import (
+    ALL_JOINTS_TO_COCO_MAP,
+    ALL_JOINTS_TO_H36M_MAP,
+    H36M_TO_J14,
+)
+from ..metrics.eval_metrics import EvalMetricsTracker
+from ..metrics.train_metrics import undo_keypoint_normalisation
+from ..models.canny import CannyEdgeDetector
+from ..models.humaniflow import HumaniflowModel
+from ..models.smpl import SMPLModel, smpl_forward
+from ..ops.camera import orthographic_project
+from ..ops.rotation import aa_rotate_rotmats
+from ..ops.so3 import so3_exp
+
+_COCO = np.asarray(ALL_JOINTS_TO_COCO_MAP)
+_H36M_J14 = np.asarray(ALL_JOINTS_TO_H36M_MAP)[np.asarray(H36M_TO_J14)]
+
+
+def _flip_x(points):
+    flip = so3_exp(jnp.asarray([[math.pi, 0.0, 0.0]], points.dtype))[0]
+    return jnp.einsum("ij,...kj->...ki", flip, points)
+
+
+def make_eval_step(
+    model: HumaniflowModel,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    cfg: HumaniflowConfig,
+    num_pred_samples: int,
+    compute_samples: bool,
+    compute_joints2d: bool,
+    renderer=None,
+):
+    """Build the jitted per-batch eval function."""
+    img_wh = cfg.DATA.PROXY_REP_SIZE
+    edge_detector = CannyEdgeDetector(
+        non_max_suppression=cfg.DATA.EDGE_NMS,
+        gaussian_filter_std=cfg.DATA.EDGE_GAUSSIAN_STD,
+        gaussian_filter_size=cfg.DATA.EDGE_GAUSSIAN_SIZE,
+        threshold=cfg.DATA.EDGE_THRESHOLD,
+    )
+    coco = jnp.asarray(_COCO)
+    h36m = jnp.asarray(_H36M_J14)
+
+    def tpose(smpl, betas):
+        b = betas.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3), (b, 23, 3, 3))
+        geye = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+        return smpl_forward(smpl, betas, eye, geye)
+
+    @partial(jax.jit, static_argnames=())
+    def eval_step(params, batch, key):
+        image = batch["image"]  # (B, wh, wh, 3)
+        heatmaps = batch["heatmaps"]  # (B, 17, wh, wh)
+        b = image.shape[0]
+
+        edges = edge_detector(image)
+        edge_img = (
+            edges["thresholded_thin_edges"]
+            if cfg.DATA.EDGE_NMS
+            else edges["thresholded_grad_magnitude"]
+        )  # (B, wh, wh, 1)
+        proxy = jnp.concatenate(
+            [edge_img, jnp.moveaxis(heatmaps, 1, -1)], axis=-1
+        )  # (B, wh, wh, 18) NHWC
+
+        # ---------------- gendered targets (reference :82-110)
+        target_pose72 = batch["pose"]  # (B, 72) axis-angle
+        target_shape = batch["shape"]
+        pose_r = so3_exp(target_pose72.reshape(b, 24, 3))
+        glob_r = pose_r[:, 0]
+        # pre-multiply an x-axis 180° flip so targets are y-up in 3D space
+        _, glob_r_flipped = aa_rotate_rotmats(
+            glob_r, jnp.asarray([1.0, 0.0, 0.0]), math.pi, rot_mult_order="pre"
+        )
+        body_r = pose_r[:, 1:]
+        female = batch["is_female"][:, None, None]  # (B,1,1) float
+
+        tm = smpl_forward(smpl_male, target_shape, body_r, glob_r_flipped)
+        tf = smpl_forward(smpl_female, target_shape, body_r, glob_r_flipped)
+        target_verts = tm["vertices"] * (1 - female) + tf["vertices"] * female
+        target_j14 = (
+            tm["joints"][:, h36m] * (1 - female) + tf["joints"][:, h36m] * female
+        )
+        tpm = tpose(smpl_male, target_shape)
+        tpf = tpose(smpl_female, target_shape)
+        target_tpose_verts = tpm["vertices"] * (1 - female) + tpf["vertices"] * female
+
+        # ---------------- predictions
+        out = model.apply(
+            params, proxy, key=key,
+            num_samples=num_pred_samples if compute_samples else 0,
+        )
+        pe = smpl_forward(
+            smpl_neutral, out["shape_mode"], out["pose_rotmats_point_est"],
+            out["glob_rotmat"],
+        )
+        pred = {
+            "verts3D": pe["vertices"],
+            "joints3D": pe["joints"][:, h36m],
+            "tpose_verts3D": tpose(smpl_neutral, out["shape_mode"])["vertices"],
+        }
+        if compute_joints2d:
+            j2d = orthographic_project(_flip_x(pe["joints"][:, coco]), out["cam_wp"])
+            pred["joints2D"] = undo_keypoint_normalisation(j2d, img_wh)
+
+        if compute_samples:
+            n = num_pred_samples
+            flat_shape = out["shape_samples"].reshape(b * n, -1)
+            flat = smpl_forward(
+                smpl_neutral,
+                flat_shape,
+                out["pose_rotmats_samples"].reshape(b * n, 23, 3, 3),
+                jnp.broadcast_to(out["glob_rotmat"][:, None], (b, n, 3, 3)).reshape(b * n, 3, 3),
+            )
+            nv = flat["vertices"].shape[1]
+            pred["verts3D_samples"] = flat["vertices"].reshape(b, n, nv, 3)
+            pred["joints3D_samples"] = flat["joints"][:, h36m].reshape(b, n, 14, 3)
+            pred["joints3D_coco_samples"] = flat["joints"][:, coco].reshape(b, n, 17, 3)
+            pred["tpose_verts3D_samples"] = tpose(smpl_neutral, flat_shape)[
+                "vertices"
+            ].reshape(b, n, nv, 3)
+            if compute_joints2d:
+                cam = jnp.broadcast_to(out["cam_wp"][:, None], (b, n, 3)).reshape(b * n, 3)
+                j2ds = orthographic_project(_flip_x(flat["joints"][:, coco]), cam)
+                pred["joints2Dsamples"] = undo_keypoint_normalisation(
+                    j2ds, img_wh
+                ).reshape(b, n, 17, 2)
+
+        target = {
+            "verts3D": target_verts,
+            "joints3D": target_j14,
+            "tpose_verts3D": target_tpose_verts,
+        }
+        extra = {
+            "cam_wp": out["cam_wp"],
+            "shape_mode": out["shape_mode"],
+            "pose_rotmats_point_est": out["pose_rotmats_point_est"],
+            "glob_rotmat": out["glob_rotmat"],
+            "verts_flipped_point_est": _flip_x(pe["vertices"]),
+        }
+        return pred, target, proxy, extra
+
+    return eval_step
+
+
+def evaluate_humaniflow(
+    model: HumaniflowModel,
+    params,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    cfg: HumaniflowConfig,
+    eval_dataset,
+    metrics: Sequence[str],
+    batch_size: int = 32,
+    num_pred_samples: int = 10,
+    save_path: Optional[str] = None,
+    save_per_frame_metrics: bool = False,
+    renderer=None,
+    key=None,
+):
+    """Full eval loop (reference: evaluate_humaniflow.py:18-286)."""
+    from ..data.datasets import batch_iterator
+
+    compute_samples = any("sample" in m for m in metrics)
+    compute_joints2d = any("joints2D" in m for m in metrics)
+    compute_silhouettes = any("silhouette" in m for m in metrics)
+
+    eval_step = make_eval_step(
+        model, smpl_neutral, smpl_male, smpl_female, cfg,
+        num_pred_samples, compute_samples, compute_joints2d, renderer,
+    )
+    tracker = EvalMetricsTracker(
+        metrics, save_path=save_path,
+        save_per_frame_metrics=save_per_frame_metrics,
+        num_samples_for_prob_metrics=num_pred_samples if compute_samples else None,
+    )
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    fname_list, pose_list, shape_list, cam_list = [], [], [], []
+    for batch in batch_iterator(eval_dataset, batch_size):
+        b = batch["image"].shape[0]
+        genders = batch.pop("gender", ["n"] * b)
+        fnames = batch.pop("fname", [""] * b)
+        batch["is_female"] = np.array(
+            [1.0 if g.startswith("f") else 0.0 for g in genders], np.float32
+        )
+        j2d_target = batch.get("joints2D")
+        j2d_vis = batch.get("joints2D_visib")
+        silhouette_target = batch.get("silhouette")
+        dev_batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("image", "heatmaps", "pose", "shape", "is_female")
+        }
+        key, sub = jax.random.split(key)
+        pred, target, proxy, extra = eval_step(params, dev_batch, sub)
+
+        if compute_joints2d and j2d_target is not None:
+            target["joints2D"] = jnp.asarray(j2d_target)
+            if j2d_vis is not None:
+                target["joints2D_vis"] = jnp.asarray(j2d_vis)
+        if compute_silhouettes and renderer is not None and silhouette_target is not None:
+            sil = renderer.render_silhouette(
+                extra["verts_flipped_point_est"], extra["cam_wp"]
+            )
+            pred["silhouettes"] = sil
+            target["silhouettes"] = jnp.asarray(silhouette_target)
+
+        tracker.update_per_batch(pred, target, b, model_input=proxy)
+
+        if save_per_frame_metrics:
+            fname_list.extend(fnames)
+            pose_list.append(np.asarray(extra["pose_rotmats_point_est"]))
+            shape_list.append(np.asarray(extra["shape_mode"]))
+            cam_list.append(np.asarray(extra["cam_wp"]))
+
+    final_metrics = tracker.compute_final_metrics(num_verts=smpl_neutral.num_verts)
+
+    if save_per_frame_metrics and save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "fname_per_frame.npy"), np.array(fname_list))
+        np.save(os.path.join(save_path, "pose_per_frame.npy"), np.concatenate(pose_list))
+        np.save(os.path.join(save_path, "shape_per_frame.npy"), np.concatenate(shape_list))
+        np.save(os.path.join(save_path, "cam_per_frame.npy"), np.concatenate(cam_list))
+    return final_metrics

@@ -1,0 +1,234 @@
+"""Textured IUV renderer: silhouette / IUV / depth / Phong-shaded RGB renders
+of SMPL meshes.
+
+Capability parity with reference
+`utils/renderers/pytorch3d_textured_renderer.py:73-298` (the pytorch3d-backed
+TexturedIUVRenderer) on the TPU rasterizer:
+
+* DensePose UV preprocessing (:22-70): remap 6890 SMPL verts → 7829 DensePose
+  verts, per-part texture-atlas UV offsets, per-face part indices;
+* IUV renders with flat part/UV shading (training seg labels + eval
+  silhouettes), RGB renders with textured Phong shading (synthetic training
+  images, visualisations), depth maps;
+* orthographic (weak-perspective) or perspective camera, per-call cam/light
+  overrides (:258-271).
+
+The camera convention matches ops/camera.orthographic_project +
+undo_keypoint_normalisation: callers pass meshes already flipped by the
+x-axis-π rotation exactly as the reference does before rendering.
+"""
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import paths
+from .rasterizer import (
+    Fragments,
+    face_normals,
+    interpolate_face_attributes,
+    project_orthographic_screen,
+    project_perspective_screen,
+    rasterize,
+)
+
+
+def load_densepose_uv(mat_path: Optional[str] = None):
+    """Load DensePose UV processing data (texture atlas layout).
+
+    :return: dict with faces (13774, 3) into 7829 DP verts, vertex_map
+        (7829,) into 6890 SMPL verts, face_part (13774,), u/v (7829,) in
+        [0, 1], and atlas-space u/v (7829,) indexing the 4×6 SURREAL texture
+        atlas (800×1200), matching the reference's offset_uv preprocessing
+        (pytorch3d_textured_renderer.py:39-70).
+    """
+    from scipy.io import loadmat
+
+    mat_path = mat_path or paths.DENSEPOSE_UV
+    m = loadmat(mat_path)
+    faces = np.asarray(m["All_Faces"], np.int64) - 1          # (13774, 3)
+    vertex_map = np.asarray(m["All_vertices"], np.int64)[0] - 1  # (7829,)
+    face_part = np.asarray(m["All_FaceIndices"], np.int64)[:, 0]  # (13774,)
+    u = np.asarray(m["All_U_norm"], np.float64)[:, 0]
+    v = np.asarray(m["All_V_norm"], np.float64)[:, 0]
+
+    # Per-vertex part index: take it from any face containing the vertex
+    # (parts partition the DP vertex set).
+    vert_part = np.zeros(7829, np.int64)
+    vert_part[faces.reshape(-1)] = np.repeat(face_part, 3)
+
+    # SURREAL texture atlas: 4 columns × 6 rows of per-part tiles.
+    # Part i (1..24) occupies tile ((i-1)//4 row, (i-1)%4 col); within the
+    # tile, u is horizontal and (1-v) vertical.
+    col = (vert_part - 1) % 4
+    row = (vert_part - 1) // 4
+    atlas_u = (col + u) / 4.0          # in [0, 1] over atlas width
+    atlas_v = (row + (1.0 - v)) / 6.0  # in [0, 1] over atlas height
+
+    return {
+        "faces": jnp.asarray(faces, jnp.int32),
+        "vertex_map": jnp.asarray(vertex_map, jnp.int32),
+        "face_part": jnp.asarray(face_part, jnp.int32),
+        "u": jnp.asarray(u, jnp.float32),
+        "v": jnp.asarray(v, jnp.float32),
+        "atlas_u": jnp.asarray(atlas_u, jnp.float32),
+        "atlas_v": jnp.asarray(atlas_v, jnp.float32),
+    }
+
+
+DEFAULT_LIGHTS = {
+    "location": jnp.asarray([[0.0, -0.8, -2.0]], jnp.float32),
+    "ambient_color": 0.5 * jnp.ones((1, 3), jnp.float32),
+    "diffuse_color": 0.3 * jnp.ones((1, 3), jnp.float32),
+    "specular_color": jnp.zeros((1, 3), jnp.float32),
+}
+
+
+@dataclass
+class TexturedIUVRenderer:
+    """TPU renderer over SMPL meshes.
+
+    :param projection_type: 'orthographic' (eval/vis) or 'perspective'
+        (training data gen, focal 300 — reference :153-163).
+    """
+
+    img_wh: int = 256
+    projection_type: str = "orthographic"
+    focal_length: float = 300.0
+    render_rgb: bool = True
+    uv_mat_path: Optional[str] = None
+    chunk: int = 2048
+
+    def __post_init__(self):
+        assert self.projection_type in ("orthographic", "perspective")
+        self.dp = load_densepose_uv(self.uv_mat_path)
+
+    def _screen_verts(self, vertices, cam_t=None, orthographic_scale=None):
+        if self.projection_type == "orthographic":
+            scale = (
+                orthographic_scale[:, 0]
+                if orthographic_scale is not None
+                else jnp.full((vertices.shape[0],), 0.9, vertices.dtype)
+            )
+            t = (
+                cam_t
+                if cam_t is not None
+                else jnp.zeros((vertices.shape[0], 3), vertices.dtype)
+            )
+            cam_wp = jnp.stack([scale, t[:, 0], t[:, 1]], axis=-1)
+            # z offset participates only in depth ordering
+            verts = vertices + jnp.concatenate(
+                [jnp.zeros_like(t[:, :2]), t[:, 2:3]], axis=-1
+            )[:, None, :]
+            return project_orthographic_screen(verts, cam_wp, self.img_wh)
+        return project_perspective_screen(
+            vertices, cam_t, self.focal_length, self.img_wh
+        )
+
+    def __call__(
+        self,
+        vertices: jax.Array,
+        cam_t: Optional[jax.Array] = None,
+        orthographic_scale: Optional[jax.Array] = None,
+        textures: Optional[jax.Array] = None,
+        lights_rgb_settings: Optional[Dict] = None,
+        verts_features: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Render IUV (+ RGB, depth) images.
+
+        :param vertices: (B, 6890, 3) SMPL vertices (pre-flipped).
+        :param textures: (B, 1200, 800, 3) SURREAL/MGN texture atlases for
+            textured RGB; verts_features: (B, 6890, 3) per-vertex colours as
+            an alternative (visualisation path).
+        :return: dict with iuv_images (B, wh, wh, 3) [part, U, V],
+            depth_images (B, wh, wh), silhouettes (B, wh, wh) and rgb_images
+            when requested — channel-last like the reference output.
+        """
+        b = vertices.shape[0]
+        dp_verts = vertices[:, self.dp["vertex_map"]]  # (B, 7829, 3)
+        screen = self._screen_verts(dp_verts, cam_t, orthographic_scale)
+        frags = rasterize(screen, self.dp["faces"], self.img_wh, chunk=self.chunk)
+
+        # flat part index per pixel + interpolated UV (reference IUV shading)
+        part = jnp.where(
+            frags.mask, self.dp["face_part"][jnp.maximum(frags.face_idx, 0)], 0
+        ).astype(jnp.float32)
+        uv = interpolate_face_attributes(
+            frags, self.dp["faces"],
+            jnp.stack([self.dp["u"], self.dp["v"]], axis=-1),
+        )
+        iuv = jnp.concatenate([part[..., None], uv], axis=-1)
+
+        out = {
+            "iuv_images": iuv,
+            "depth_images": jnp.where(frags.mask, frags.depth, 0.0),
+            "silhouettes": frags.mask.astype(jnp.float32),
+        }
+
+        if self.render_rgb and (textures is not None or verts_features is not None):
+            if textures is not None:
+                atlas_uv = interpolate_face_attributes(
+                    frags, self.dp["faces"],
+                    jnp.stack([self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1),
+                )
+                th, tw = textures.shape[1:3]
+                tx = jnp.clip((atlas_uv[..., 0] * (tw - 1)), 0, tw - 1)
+                ty = jnp.clip((atlas_uv[..., 1] * (th - 1)), 0, th - 1)
+                albedo = jax.vmap(
+                    lambda tex, y, x: tex[
+                        jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32)
+                    ]
+                )(textures, ty, tx)  # (B, wh, wh, 3)
+            else:
+                albedo = interpolate_face_attributes(
+                    frags, self.dp["faces"],
+                    verts_features[:, self.dp["vertex_map"]]
+                    if verts_features.ndim == 3
+                    else verts_features[self.dp["vertex_map"]],
+                )
+
+            lights = dict(DEFAULT_LIGHTS)
+            if lights_rgb_settings is not None:
+                lights.update(lights_rgb_settings)
+
+            normals = face_normals(dp_verts, self.dp["faces"])  # (B, F, 3)
+            pix_normal = jnp.where(
+                frags.mask[..., None],
+                jax.vmap(lambda n, f: n[jnp.maximum(f, 0)])(normals, frags.face_idx),
+                0.0,
+            )
+            # pixel world position via barycentric interp
+            pix_pos = interpolate_face_attributes(
+                frags, self.dp["faces"],
+                dp_verts if dp_verts.ndim == 3 else dp_verts[None],
+            )
+            light_dir = lights["location"][:, None, None, :] - pix_pos
+            light_dir = light_dir / jnp.maximum(
+                jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-8
+            )
+            lambert = jnp.abs(jnp.sum(pix_normal * light_dir, axis=-1, keepdims=True))
+            ambient = lights["ambient_color"][:, None, None, :]
+            diffuse = lights["diffuse_color"][:, None, None, :] * lambert
+            rgb = jnp.clip(albedo * (ambient + diffuse), 0.0, 1.0)
+            out["rgb_images"] = jnp.where(frags.mask[..., None], rgb, 0.0)
+
+        return out
+
+    def render_silhouette(self, vertices, cam_wp):
+        """Fast silhouette-only path for eval IOU: weak-perspective cam given
+        as (B, 3) = (scale, tx, ty) (reference eval: cam_t from cam_wp with
+        z=2.5, evaluate_humaniflow.py:120-122)."""
+        cam_t = jnp.stack(
+            [cam_wp[:, 1], cam_wp[:, 2], jnp.full_like(cam_wp[:, 0], 2.5)], axis=-1
+        )
+        scale = cam_wp[:, [0, 0]]
+        out = self(
+            vertices, cam_t=cam_t, orthographic_scale=scale, textures=None,
+            verts_features=None,
+        )
+        return out["silhouettes"]

@@ -1,0 +1,180 @@
+"""PyTorch → JAX checkpoint conversion.
+
+The north-star workflow requires loading the reference's released weights
+(`humaniflow_weights.tar`, `pose_hrnet_w48_384x288.pth` — BASELINE.md) into
+this framework.  This module maps the reference's torch state-dict naming
+(humaniflow_model.py module tree, incl. pyro `ConditionalDenseNN` layer
+naming inside `pose_so3flow_transform_modules`) onto the humaniflow_tpu
+parameter pytree:
+
+* torch Linear weight (out, in) → kernel (in, out) transpose;
+* torch Conv OIHW → flax HWIO;
+* torchvision ResNet `layerX.Y.*` → flax `layerX_blockY.*`, `downsample.0/1`
+  → `downsample_conv` / `downsample_bn`;
+* per-body-part modules are STACKED along a leading 23-axis
+  (`fc_flow_context.{i}` and `pose_so3flow_transform_modules.{2i,2i+1}` —
+  two spline-coupling modules per part);
+* `fc_flow_context` rows are placed into the zero-padded
+  (isgc + 9*MAX_ANCESTORS)-row stacked kernel (ancestor slot a occupies
+  rows 256+9a .. 256+9a+8, unused slots stay zero — they multiply
+  zero-masked inputs).
+"""
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(w):
+    """torch Linear weight (out, in) → (in, out)."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv(w):
+    """torch Conv OIHW → flax HWIO."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into {name: numpy} without needing pyro.
+
+    Accepts the reference's .tar training checkpoints (uses
+    'best_model_state_dict') and raw .pth state dicts.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "best_model_state_dict" in blob:
+        sd = blob["best_model_state_dict"]
+    elif isinstance(blob, dict) and "model_state_dict" in blob:
+        sd = blob["model_state_dict"]
+    else:
+        sd = blob
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _convert_resnet(sd: Dict[str, np.ndarray], prefix: str, stage_sizes) -> Dict:
+    """torchvision ResNet state dict → flax variables {'params', 'batch_stats'}."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst):
+        params[dst] = {
+            "scale": np.asarray(sd[f"{src}.weight"]),
+            "bias": np.asarray(sd[f"{src}.bias"]),
+        }
+        stats[dst] = {
+            "mean": np.asarray(sd[f"{src}.running_mean"]),
+            "var": np.asarray(sd[f"{src}.running_var"]),
+        }
+
+    params["conv1"] = {"kernel": _conv(sd[f"{prefix}conv1.weight"])}
+    bn(f"{prefix}bn1", "bn1")
+
+    for stage, num_blocks in enumerate(stage_sizes):
+        for block in range(num_blocks):
+            src = f"{prefix}layer{stage + 1}.{block}"
+            dst = f"layer{stage + 1}_block{block}"
+            bparams: Dict = {}
+            bstats: Dict = {}
+            conv_idx = 1
+            while f"{src}.conv{conv_idx}.weight" in sd:
+                bparams[f"conv{conv_idx}"] = {
+                    "kernel": _conv(sd[f"{src}.conv{conv_idx}.weight"])
+                }
+                bparams[f"bn{conv_idx}"] = {
+                    "scale": np.asarray(sd[f"{src}.bn{conv_idx}.weight"]),
+                    "bias": np.asarray(sd[f"{src}.bn{conv_idx}.bias"]),
+                }
+                bstats[f"bn{conv_idx}"] = {
+                    "mean": np.asarray(sd[f"{src}.bn{conv_idx}.running_mean"]),
+                    "var": np.asarray(sd[f"{src}.bn{conv_idx}.running_var"]),
+                }
+                conv_idx += 1
+            if f"{src}.downsample.0.weight" in sd:
+                bparams["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{src}.downsample.0.weight"])
+                }
+                bparams["downsample_bn"] = {
+                    "scale": np.asarray(sd[f"{src}.downsample.1.weight"]),
+                    "bias": np.asarray(sd[f"{src}.downsample.1.bias"]),
+                }
+                bstats["downsample_bn"] = {
+                    "mean": np.asarray(sd[f"{src}.downsample.1.running_mean"]),
+                    "var": np.asarray(sd[f"{src}.downsample.1.running_var"]),
+                }
+            params[dst] = bparams
+            if bstats:
+                stats[dst] = bstats
+    return {"params": params, "batch_stats": stats}
+
+
+def _linear(sd, name):
+    return {"kernel": _t(sd[f"{name}.weight"]), "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_humaniflow_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
+    """Reference HumaniflowModel state dict → humaniflow_tpu params pytree.
+
+    :param model: humaniflow_tpu HumaniflowModel (for dims/ancestor layout).
+    """
+    stage_sizes = (2, 2, 2, 2) if model.cfg.NUM_RESNET_LAYERS == 18 else (3, 4, 6, 3)
+    params = {
+        "encoder": _convert_resnet(sd, "image_encoder.", stage_sizes),
+        "fc1": _linear(sd, "fc1"),
+        "fc_shape": _linear(sd, "fc_shape"),
+        "fc_glob": _linear(sd, "fc_glob"),
+        "fc_cam": _linear(sd, "fc_cam"),
+        "fc_isgc": _linear(sd, "fc_input_shape_glob_cam_feats"),
+    }
+
+    # --- stacked per-part flow-context layers with zero-padded ancestor rows
+    nparts = model.num_bodyparts
+    ctx_dim = model.cfg.NORM_FLOW.CONTEXT_DIM
+    isgc = model.isgc_dim
+    kernel = np.zeros((nparts, model.ctx_in_dim, ctx_dim), np.float32)
+    bias = np.zeros((nparts, ctx_dim), np.float32)
+    for part in range(nparts):
+        w = _t(sd[f"fc_flow_context.{part}.weight"])  # (in_p, ctx)
+        bias[part] = np.asarray(sd[f"fc_flow_context.{part}.bias"])
+        kernel[part, :isgc] = w[:isgc]
+        num_anc = len(model.ancestors[part])
+        if num_anc:
+            kernel[part, isgc : isgc + 9 * num_anc] = w[isgc : isgc + 9 * num_anc]
+    params["fc_flow_context"] = {"kernel": kernel, "bias": bias}
+
+    # --- stacked per-part spline-coupling hypernets
+    # reference module list: 2 ConditionalSplineCoupling modules per part
+    # (pyro_conditional_norm_flow.py:115 keeps only nn.Module transforms);
+    # in our flow spec they are transform_1 and transform_3 (permutes at 0/2,
+    # radial tanh at 4 are parameterless).
+    num_couplings = sum(
+        1 for i, t in enumerate(model.flow.transforms) if hasattr(t, "param_dims")
+    )
+    coupling_slots = [
+        i for i, t in enumerate(model.flow.transforms) if hasattr(t, "param_dims")
+    ]
+    flows: Dict = {f"transform_{i}": {} for i in range(len(model.flow.transforms))}
+    for ci, slot in enumerate(coupling_slots):
+        layers: Dict = {}
+        layer_idx = 0
+        while f"pose_so3flow_transform_modules.{ci}.nn.layers.{layer_idx}.weight" in sd:
+            ks, bs = [], []
+            for part in range(nparts):
+                mod = part * num_couplings + ci
+                ks.append(_t(sd[f"pose_so3flow_transform_modules.{mod}.nn.layers.{layer_idx}.weight"]))
+                bs.append(np.asarray(sd[f"pose_so3flow_transform_modules.{mod}.nn.layers.{layer_idx}.bias"]))
+            layers[f"layer_{layer_idx}"] = {
+                "kernel": np.stack(ks), "bias": np.stack(bs)
+            }
+            layer_idx += 1
+        flows[f"transform_{slot}"] = {"hypernet": layers}
+    for i, t in enumerate(model.flow.transforms):
+        if not hasattr(t, "param_dims"):
+            flows[f"transform_{i}"] = {}
+    params["flows"] = flows
+    return params
+
+
+def convert_humaniflow_file(path: str, model) -> Dict:
+    return convert_humaniflow_checkpoint(load_torch_state_dict(path), model)

@@ -1,0 +1,72 @@
+"""Observability: profiler traces + per-stage wall-clock timing.
+
+The reference has no tracing/profiling at all (SURVEY.md §5 — tqdm bars and
+prints only); this module makes it a first-class subsystem: jax.profiler
+trace capture around any stage, and a lightweight StageTimer that
+block-until-ready-times jitted stages and keeps running statistics.
+"""
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Wall-clock timing of named stages with device synchronisation."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_result=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync_result is not None:
+                jax.block_until_ready(sync_result)
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def time_stage(self, name: str, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        self.totals[name] += dt
+        self.counts[name] += 1
+        return out
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "total_s": self.totals[name],
+                "count": self.counts[name],
+                "mean_ms": 1000.0 * self.totals[name] / max(self.counts[name], 1),
+            }
+            for name in self.totals
+        }
+
+    def report(self) -> str:
+        lines = ["stage timings:"]
+        for name, s in sorted(self.summary().items()):
+            lines.append(
+                f"  {name:<32} {s['mean_ms']:9.2f} ms/call × {s['count']:<6d}"
+                f" = {s['total_s']:8.2f} s"
+            )
+        return "\n".join(lines)

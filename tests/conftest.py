@@ -18,6 +18,10 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The JAX_PLATFORMS env var is overridden by the axon TPU plugin in this
+# environment; the config flag is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA CPU compiles are the dominant test cost
 # on this 1-core host; cache them across pytest runs.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")

@@ -1,0 +1,279 @@
+"""Pipeline tests: loss, train step (incl. NaN rollback + data-parallel
+sharding over the virtual mesh), optimise loop, eval metrics, predict slice."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from humaniflow_tpu.configs import get_humaniflow_cfg_defaults, get_optimise_cfg_defaults
+from humaniflow_tpu.losses import humaniflow_loss
+from humaniflow_tpu.metrics import EvalMetricsTracker, TrainingLossesAndMetricsTracker
+from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
+from humaniflow_tpu.parallel import make_mesh, replicate, shard_batch
+from humaniflow_tpu.pipelines import make_train_step, optimise_batch_with_humaniflow_prior
+from humaniflow_tpu.pipelines.predict import make_predict_fn
+
+IMG = 32
+B = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_humaniflow_cfg_defaults()
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    smpl = synthetic_smpl(num_verts=64)
+    return cfg, model, params, smpl
+
+
+def _batch(b=B, img=IMG, seed=0):
+    rng = np.random.default_rng(seed)
+    rot = R.random(b * 24, random_state=seed).as_matrix().astype(np.float32)
+    return {
+        "proxy": jnp.asarray(rng.normal(size=(b, img, img, 18)), jnp.float32),
+        "pose_rotmats": jnp.asarray(rot[: b * 23].reshape(b, 23, 3, 3)),
+        "glob_rotmats": jnp.asarray(rot[b * 23 :].reshape(b, 3, 3)),
+        "shape": jnp.asarray(rng.normal(size=(b, 10)), jnp.float32),
+        "joints2D": jnp.asarray(rng.uniform(0, img, size=(b, 17, 2)), jnp.float32),
+        "joints2D_vis": jnp.ones((b, 17), jnp.float32),
+    }
+
+
+class TestLoss:
+    def test_loss_terms(self):
+        cfg = get_humaniflow_cfg_defaults()
+        rng = np.random.default_rng(1)
+        pred = {
+            "pose_log_probs": jnp.asarray(rng.normal(size=(B, 23)), jnp.float32),
+            "shape_mode": jnp.zeros((B, 10)),
+            "shape_log_std": jnp.zeros((B, 10)),
+            "joints2D": jnp.asarray(rng.normal(size=(B, 3, 17, 2)), jnp.float32),
+            "glob_rotmats": jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        }
+        target = {
+            "shape_params": jnp.zeros((B, 10)),
+            "joints2D": jnp.asarray(rng.uniform(0, 32, size=(B, 17, 2)), jnp.float32),
+            "joints2D_vis": jnp.ones((B, 17), jnp.float32),
+            "glob_rotmats": jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        }
+        total, bd = humaniflow_loss(cfg.LOSS, 32, pred, target)
+        # pose NLL = -mean of log probs
+        np.testing.assert_allclose(
+            float(bd["pose_nll"]), -float(jnp.mean(pred["pose_log_probs"])), rtol=1e-5
+        )
+        # shape NLL of zeros under N(0,1): 0.5*log(2pi) per beta, summed
+        np.testing.assert_allclose(
+            float(bd["shape_nll"]), 10 * 0.5 * math.log(2 * math.pi), rtol=1e-5
+        )
+        assert float(bd["glob_rotmats"]) == 0.0
+        w = cfg.LOSS.WEIGHTS
+        np.testing.assert_allclose(
+            float(total),
+            float(bd["pose_nll"]) * w.POSE + float(bd["shape_nll"]) * w.SHAPE
+            + float(bd["joints2D"]) * w.JOINTS2D,
+            rtol=1e-5,
+        )
+
+    def test_visibility_masking(self):
+        cfg = get_humaniflow_cfg_defaults()
+        pred = {
+            "pose_log_probs": jnp.zeros((2, 23)),
+            "shape_mode": jnp.zeros((2, 10)),
+            "shape_log_std": jnp.zeros((2, 10)),
+            "joints2D": jnp.zeros((2, 1, 17, 2)),
+            "glob_rotmats": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        }
+        t_j2d = jnp.ones((2, 17, 2)) * 16  # normalises to 0 → zero error
+        t_j2d_bad = t_j2d.at[:, 0].set(1000.0)
+        vis_all = jnp.ones((2, 17), jnp.float32)
+        vis_masked = vis_all.at[:, 0].set(0.0)
+        target = lambda j2d, vis: {
+            "shape_params": jnp.zeros((2, 10)), "joints2D": j2d,
+            "joints2D_vis": vis, "glob_rotmats": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        }
+        _, bd_bad = humaniflow_loss(cfg.LOSS, 32, pred, target(t_j2d_bad, vis_all))
+        _, bd_masked = humaniflow_loss(cfg.LOSS, 32, pred, target(t_j2d_bad, vis_masked))
+        assert float(bd_bad["joints2D"]) > 10.0
+        np.testing.assert_allclose(float(bd_masked["joints2D"]), 0.0, atol=1e-10)
+
+
+class TestTrainStep:
+    def test_step_runs_and_updates(self, setup):
+        cfg, model, params, smpl = setup
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        step = jax.jit(
+            make_train_step(model, smpl, cfg.LOSS, opt, img_wh=IMG, num_j2d_samples=2)
+        )
+        batch = _batch()
+        new_params, new_opt, metrics = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total"]))
+        assert float(metrics["nan_skipped"]) == 0.0
+        # params changed
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), new_params["fc1"], params["fc1"]
+        )
+        assert d["kernel"] > 0
+
+    def test_nan_rollback(self, setup):
+        cfg, model, params, smpl = setup
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        step = jax.jit(
+            make_train_step(model, smpl, cfg.LOSS, opt, img_wh=IMG, num_j2d_samples=2)
+        )
+        batch = _batch()
+        batch["proxy"] = batch["proxy"].at[0, 0, 0, 0].set(jnp.nan)
+        new_params, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        assert float(metrics["nan_skipped"]) == 1.0
+        # rollback: params unchanged
+        same = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), new_params["fc1"], params["fc1"]
+        )
+        assert same["kernel"] == 0.0
+
+    def test_data_parallel_matches_single_device(self, setup):
+        cfg, model, params, smpl = setup
+        opt = optax.adam(1e-4)
+        step = make_train_step(model, smpl, cfg.LOSS, opt, img_wh=IMG, num_j2d_samples=2)
+        batch = _batch(b=8)
+        key = jax.random.PRNGKey(7)
+
+        _, _, m_single = jax.jit(step)(params, opt.init(params), batch, key)
+
+        mesh = make_mesh(8)
+        p = replicate(params, mesh)
+        o = replicate(opt.init(params), mesh)
+        sb = shard_batch(batch, mesh)
+        _, _, m_sharded = jax.jit(step)(p, o, sb, key)
+        np.testing.assert_allclose(
+            float(m_single["total"]), float(m_sharded["total"]), rtol=2e-4
+        )
+
+
+class TestOptimise:
+    def test_optimise_reduces_loss(self, setup):
+        cfg, model, params, smpl = setup
+        ocfg = get_optimise_cfg_defaults()
+        ocfg.NUM_ITERS = 5
+        ocfg.LR = 1e-3
+        b = 2
+        rng = np.random.default_rng(3)
+        rot = R.random(b, random_state=3).as_matrix().astype(np.float32)
+        init = {
+            "shape": jnp.zeros((b, 10)),
+            "pose_axisangle": jnp.asarray(rng.normal(scale=0.2, size=(b, 23, 3)), jnp.float32),
+            "glob_rotmat": jnp.asarray(rot),
+            "cam_wp": jnp.asarray(np.tile([0.9, 0, 0], (b, 1)), jnp.float32),
+            "input_feats": jnp.asarray(rng.normal(size=(b, model.feat_dim)), jnp.float32),
+            "joints2D": jnp.asarray(rng.uniform(0, IMG, size=(b, 17, 2)), jnp.float32),
+            "joints2D_conf": jnp.ones((b, 17)),
+        }
+        out = optimise_batch_with_humaniflow_prior(model, params, smpl, ocfg, init, img_wh=IMG)
+        assert out["pose_axisangle"].shape == (b, 23, 3)
+        assert not bool(out["halted_on_nan"])
+        assert np.isfinite(np.asarray(out["final_losses"]["joints2D"])).all()
+        # variables moved
+        assert float(jnp.abs(out["pose_axisangle"] - init["pose_axisangle"]).max()) > 0
+
+
+class TestEvalMetrics:
+    def test_point_and_sample_metrics(self):
+        rng = np.random.default_rng(5)
+        b, n, v = 3, 4, 32
+        verts_t = rng.normal(size=(b, v, 3)).astype(np.float32)
+        pred = {
+            "verts3D": jnp.asarray(verts_t + 0.01),
+            "tpose_verts3D": jnp.asarray(verts_t),
+            "joints3D": jnp.asarray(rng.normal(size=(b, 14, 3)), jnp.float32),
+            "verts3D_samples": jnp.asarray(
+                verts_t[:, None] + rng.normal(scale=0.02, size=(b, n, v, 3)), jnp.float32
+            ),
+            "joints3D_samples": jnp.asarray(rng.normal(size=(b, n, 14, 3)), jnp.float32),
+            "joints3D_coco_samples": jnp.asarray(rng.normal(size=(b, n, 17, 3)), jnp.float32),
+            "tpose_verts3D_samples": jnp.asarray(
+                np.tile(verts_t[:, None], (1, n, 1, 1)), jnp.float32
+            ),
+            "joints2D": jnp.asarray(rng.uniform(0, 64, (b, 17, 2)), jnp.float32),
+            "joints2Dsamples": jnp.asarray(rng.uniform(0, 64, (b, n, 17, 2)), jnp.float32),
+        }
+        target = {
+            "verts3D": jnp.asarray(verts_t),
+            "tpose_verts3D": jnp.asarray(verts_t),
+            "joints3D": pred["joints3D"] + 0.005,
+            "joints2D": pred["joints2D"],
+            "joints2D_vis": jnp.ones((b, 17), bool),
+        }
+        metrics = (
+            "PVE", "PVE-SC", "PVE-PA", "PVE-T", "PVE-T-SC", "MPJPE", "MPJPE-SC",
+            "MPJPE-PA", "PVE_samples_min", "MPJPE_samples_min", "joints2D-L2E",
+            "joints2Dsamples-L2E", "verts3D_sample_diversity",
+        )
+        tracker = EvalMetricsTracker(metrics, num_samples_for_prob_metrics=n)
+        tracker.update_per_batch(pred, target, b)
+        final = tracker.compute_final_metrics(num_verts=v)
+        np.testing.assert_allclose(final["PVE"], 0.01 * np.sqrt(3), rtol=1e-4)
+        np.testing.assert_allclose(final["MPJPE"], 0.005 * np.sqrt(3), rtol=1e-4)
+        assert final["PVE-T"] == 0.0
+        assert final["joints2D-L2E"] == 0.0
+        # min over samples <= point-estimate-style error of any single sample
+        assert final["PVE_samples_min"] <= 0.02 * np.sqrt(3) * 2
+        assert final["PVE-PA"] <= final["PVE"] + 1e-6
+        assert final["PVE-SC"] <= final["PVE"] + 1e-6
+
+    def test_train_tracker_epoch_history(self, tmp_path):
+        tracker = TrainingLossesAndMetricsTracker(
+            ("PVE", "joints2D-L2E"), img_wh=32,
+            log_save_path=str(tmp_path / "log.pkl"),
+        )
+        tracker.initialise_loss_metric_sums()
+        rng = np.random.default_rng(0)
+        pred = {
+            "verts3D": jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32),
+            "joints2D": jnp.zeros((2, 17, 2)),
+        }
+        target = {
+            "verts3D": pred["verts3D"],
+            "joints2D": jnp.full((2, 17, 2), 16.0),
+        }
+        tracker.update_per_batch("train", 1.5, pred, target, 2)
+        tracker.update_per_batch("val", 2.5, pred, target, 2)
+        tracker.update_per_epoch()
+        assert tracker.epochs_history["train_losses"] == [1.5]
+        assert tracker.epochs_history["val_losses"] == [2.5]
+        assert tracker.epochs_history["train_PVE"][-1] == 0.0
+        # normalised (0,0) joints vs target at centre → 0 px error
+        np.testing.assert_allclose(tracker.epochs_history["train_joints2D-L2E"][-1], 0.0, atol=1e-6)
+        assert tracker.determine_save_model_weights_this_epoch(["PVE"], {"PVE": 1.0})
+
+    def test_resume_truncation(self, tmp_path):
+        path = str(tmp_path / "log.pkl")
+        t1 = TrainingLossesAndMetricsTracker(("PVE",), 32, log_save_path=path)
+        t1.initialise_loss_metric_sums()
+        pred = {"verts3D": jnp.zeros((1, 8, 3))}
+        target = {"verts3D": jnp.zeros((1, 8, 3))}
+        for _ in range(3):
+            t1.update_per_batch("train", 1.0, pred, target, 1)
+            t1.update_per_batch("val", 1.0, pred, target, 1)
+            t1.update_per_epoch()
+            t1.initialise_loss_metric_sums()
+        t2 = TrainingLossesAndMetricsTracker(
+            ("PVE",), 32, log_save_path=path, load_logs=True, current_epoch=2
+        )
+        assert len(t2.epochs_history["train_losses"]) == 2
+
+
+class TestPredict:
+    def test_predict_fn(self, setup):
+        cfg, model, params, smpl = setup
+        predict = make_predict_fn(model, smpl, cfg, num_samples=3)
+        proxy = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 18))
+        out = predict(params, proxy, jax.random.PRNGKey(2))
+        assert out["verts_samples"].shape == (2, 3, 64, 3)
+        assert out["vertex_uncertainty_l2"].shape == (2, 64)
+        assert np.isfinite(np.asarray(out["vertex_uncertainty_l2"])).all()
