@@ -178,3 +178,110 @@ def convert_humaniflow_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
 
 def convert_humaniflow_file(path: str, model) -> Dict:
     return convert_humaniflow_checkpoint(load_torch_state_dict(path), model)
+
+
+def convert_hrnet_checkpoint(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference pose_hrnet_w48 state dict → flax PoseHighResolutionNet
+    variables.
+
+    torch naming (models/pose2D_hrnet.py): stageS.M.branches.B.K.*,
+    stageS.M.fuse_layers.I.J[.K].{0 conv,1 bn}, transitionT.B[.0].{0,1},
+    layer1.K.*, conv1/bn1/conv2/bn2, final_layer.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(dst, sub, value):
+        node_p = params
+        for part in dst[:-1]:
+            node_p = node_p.setdefault(part, {})
+        if sub == "conv":
+            node_p.setdefault(dst[-1], {})["kernel"] = _conv(value)
+        else:  # bn tuple → scale/bias in params, mean/var in batch_stats
+            node_s = stats
+            for part in dst[:-1]:
+                node_s = node_s.setdefault(part, {})
+            w, b, m, v = value
+            node_p.setdefault(dst[-1], {}).update(
+                scale=np.asarray(w), bias=np.asarray(b)
+            )
+            node_s.setdefault(dst[-1], {}).update(
+                mean=np.asarray(m), var=np.asarray(v)
+            )
+
+    def bn_vals(src):
+        return (
+            sd[f"{src}.weight"], sd[f"{src}.bias"],
+            sd[f"{src}.running_mean"], sd[f"{src}.running_var"],
+        )
+
+    # stem
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    put(("bn1",), "bn", bn_vals("bn1"))
+    params["conv2"] = {"kernel": _conv(sd["conv2.weight"])}
+    put(("bn2",), "bn", bn_vals("bn2"))
+
+    # layer1: 4 bottlenecks
+    for k in range(4):
+        src = f"layer1.{k}"
+        dst = f"layer1_block{k}"
+        for c in (1, 2, 3):
+            put((dst, f"conv{c}"), "conv", sd[f"{src}.conv{c}.weight"])
+            put((dst, f"bn{c}"), "bn", bn_vals(f"{src}.bn{c}"))
+        if f"{src}.downsample.0.weight" in sd:
+            put((dst, "downsample_conv"), "conv", sd[f"{src}.downsample.0.weight"])
+            put((dst, "downsample_bn"), "bn", bn_vals(f"{src}.downsample.1"))
+
+    # transitions: 1.0 is Sequential(conv,bn,relu); the new-branch entries
+    # are Sequential(Sequential(conv,bn,relu))
+    put(("transition1_0_conv",), "conv", sd["transition1.0.0.weight"])
+    put(("transition1_0_bn",), "bn", bn_vals("transition1.0.1"))
+    put(("transition1_1_conv",), "conv", sd["transition1.1.0.0.weight"])
+    put(("transition1_1_bn",), "bn", bn_vals("transition1.1.0.1"))
+    put(("transition2_2_conv",), "conv", sd["transition2.2.0.0.weight"])
+    put(("transition2_2_bn",), "bn", bn_vals("transition2.2.0.1"))
+    put(("transition3_3_conv",), "conv", sd["transition3.3.0.0.weight"])
+    put(("transition3_3_bn",), "bn", bn_vals("transition3.3.0.1"))
+
+    # stages
+    from ..models.hrnet import STAGE_MODULES
+
+    for s, num_modules in zip((2, 3, 4), STAGE_MODULES):
+        num_branches = s
+        for m in range(num_modules):
+            src_mod = f"stage{s}.{m}"
+            dst_mod = f"stage{s}_module{m}"
+            for b in range(num_branches):
+                for k in range(4):
+                    src = f"{src_mod}.branches.{b}.{k}"
+                    dst = f"branch{b}_block{k}"
+                    for c in (1, 2):
+                        put((dst_mod, dst, f"conv{c}"), "conv", sd[f"{src}.conv{c}.weight"])
+                        put((dst_mod, dst, f"bn{c}"), "bn", bn_vals(f"{src}.bn{c}"))
+            multi_out = not (s == 4 and m == num_modules - 1)
+            num_out = num_branches if multi_out else 1
+            for i in range(num_out):
+                for j in range(num_branches):
+                    if j == i:
+                        continue
+                    if j > i:
+                        put((dst_mod, f"fuse{i}_{j}_conv"), "conv",
+                            sd[f"{src_mod}.fuse_layers.{i}.{j}.0.weight"])
+                        put((dst_mod, f"fuse{i}_{j}_bn"), "bn",
+                            bn_vals(f"{src_mod}.fuse_layers.{i}.{j}.1"))
+                    else:
+                        for k in range(i - j):
+                            put((dst_mod, f"fuse{i}_{j}_conv{k}"), "conv",
+                                sd[f"{src_mod}.fuse_layers.{i}.{j}.{k}.0.weight"])
+                            put((dst_mod, f"fuse{i}_{j}_bn{k}"), "bn",
+                                bn_vals(f"{src_mod}.fuse_layers.{i}.{j}.{k}.1"))
+
+    params["final_layer"] = {
+        "kernel": _conv(sd["final_layer.weight"]),
+        "bias": np.asarray(sd["final_layer.bias"]),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_hrnet_file(path: str) -> Dict:
+    return convert_hrnet_checkpoint(load_torch_state_dict(path))
