@@ -152,10 +152,16 @@ def synthetic_smpl(num_verts: int = 128, num_betas: int = 10, seed: int = 0) -> 
         extra_joint_vertex_ids=jnp.asarray(
             np.array(_EXTRA_VERTEX_IDS, np.int64) % v, jnp.int32
         ),
-        j_regressor_extra=jnp.asarray(rng.normal(size=(9, v)) / v, jnp.float32),
-        j_regressor_cocoplus=jnp.asarray(rng.normal(size=(19, v)) / v, jnp.float32),
-        j_regressor_h36m=jnp.asarray(rng.normal(size=(17, v)) / v, jnp.float32),
+        # convex vertex combinations so regressed joints lie inside the mesh
+        j_regressor_extra=jnp.asarray(_convex_rows(rng, 9, v), jnp.float32),
+        j_regressor_cocoplus=jnp.asarray(_convex_rows(rng, 19, v), jnp.float32),
+        j_regressor_h36m=jnp.asarray(_convex_rows(rng, 17, v), jnp.float32),
     )
+
+
+def _convex_rows(rng, rows: int, cols: int) -> np.ndarray:
+    w = np.exp(rng.normal(scale=2.0, size=(rows, cols)))
+    return w / w.sum(axis=1, keepdims=True)
 
 
 def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):

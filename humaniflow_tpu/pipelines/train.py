@@ -1,0 +1,304 @@
+"""Full training pipeline: on-device synthetic-data generation → forward →
+loss → update, with epoch loops, metric tracking, checkpointing and resume.
+
+Capability parity with reference `train/train_humaniflow.py:27-407` +
+`scripts/run_train.py`, TPU-first:
+
+* the reference generates synthetic data in eager torch inside the batch loop
+  (:113-245: SMPL targets, pytorch3d render, crop, augmentations, Canny,
+  heatmaps); here the ENTIRE data-generation stage is one jitted function
+  (`make_synth_data_fn`) driven by a PRNG key — poses/textures/backgrounds
+  are the only host inputs (from OnTheFlySMPLTrainDataset);
+* forward+loss+backward+update is the fused train step
+  (pipelines/train_step.py) with the functional NaN rollback;
+* checkpoints: params/opt_state/best bookkeeping saved every EPOCHS_PER_SAVE
+  epochs, resume restores history (reference :377-401).
+"""
+
+import math
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs.defaults import HumaniflowConfig
+from ..data.augmentation import (
+    augment_cam_t,
+    augment_light_colour,
+    augment_light_t,
+    augment_proxy_representation,
+    augment_rgb,
+    normal_sample_shape,
+    random_extreme_crop,
+)
+from ..data.image_ops import batch_add_rgb_background, batch_crop_affine
+from ..data.joints2d_utils import check_joints2d_occluded, check_joints2d_visibility
+from ..data.label_conversions import (
+    ALL_JOINTS_TO_COCO_MAP,
+    convert_2d_joints_to_gaussian_heatmaps,
+    convert_densepose_seg_to_14part_labels,
+)
+from ..metrics.train_metrics import TrainingLossesAndMetricsTracker
+from ..models.canny import CannyEdgeDetector
+from ..models.humaniflow import HumaniflowModel
+from ..models.smpl import SMPLModel, smpl_forward
+from ..ops.camera import perspective_project
+from ..ops.rotation import aa_rotate_rotmats, aa_rotate_translate_points
+from ..ops.so3 import so3_exp
+from ..utils.checkpoints import save_checkpoint
+from .train_step import make_train_step
+
+_COCO = np.asarray(ALL_JOINTS_TO_COCO_MAP)
+
+
+def make_synth_data_fn(
+    cfg: HumaniflowConfig, smpl: SMPLModel, renderer
+):
+    """Build the jitted synthetic-data generator.
+
+    (key, pose72 (B,72), texture (B,1200,800,3), background (B,wh,wh,3)) →
+    training batch dict (reference: train_humaniflow.py:113-245).
+    """
+    sd = cfg.TRAIN.SYNTH_DATA
+    aug = sd.AUGMENT
+    img_wh = cfg.DATA.PROXY_REP_SIZE
+    edge_detector = CannyEdgeDetector(
+        non_max_suppression=cfg.DATA.EDGE_NMS,
+        gaussian_filter_std=cfg.DATA.EDGE_GAUSSIAN_STD,
+        gaussian_filter_size=cfg.DATA.EDGE_GAUSSIAN_SIZE,
+        threshold=cfg.DATA.EDGE_THRESHOLD,
+    )
+    coco = jnp.asarray(_COCO)
+    x_axis = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    zero3 = jnp.zeros(3, jnp.float32)
+    mean_cam_t = jnp.asarray(sd.MEAN_CAM_T, jnp.float32)
+
+    @jax.jit
+    def synth_batch(key, pose72, texture, background):
+        b = pose72.shape[0]
+        keys = jax.random.split(key, 10)
+
+        # ---------------- random pose/shape/camera targets (:114-150)
+        pose_r24 = so3_exp(pose72.reshape(b, 24, 3))
+        glob_r = pose_r24[:, 0]
+        body_r = pose_r24[:, 1:]
+        # x-axis 180° post-flip so targets are y-up in 3D space (:124-129)
+        _, glob_r = aa_rotate_rotmats(glob_r, x_axis, math.pi, rot_mult_order="post")
+        shape = normal_sample_shape(
+            keys[0], b, jnp.zeros(cfg.MODEL.NUM_SMPL_BETAS),
+            jnp.full((cfg.MODEL.NUM_SMPL_BETAS,), aug.SMPL.SHAPE_STD),
+        )
+        cam_t = augment_cam_t(
+            keys[1], jnp.broadcast_to(mean_cam_t, (b, 3)),
+            xy_std=aug.CAM.XY_STD, delta_z_range=aug.CAM.DELTA_Z_RANGE,
+        )
+
+        smpl_out = smpl_forward(smpl, shape, body_r, glob_r)
+        verts = smpl_out["vertices"]
+        joints = smpl_out["joints"]
+
+        # ---------------- render + 2D targets (:152-186)
+        verts_render = aa_rotate_translate_points(verts, x_axis, math.pi, zero3)
+        joints_coco = aa_rotate_translate_points(
+            joints[:, coco], x_axis, math.pi, zero3
+        )
+        j2d = perspective_project(
+            joints_coco, None, cam_t,
+            focal_length=sd.FOCAL_LENGTH, img_wh=img_wh,
+        )
+        j2d_vis = check_joints2d_visibility(j2d, img_wh)
+
+        lights = augment_light_colour(
+            keys[2], 1,
+            ambient_intensity_range=aug.RGB.LIGHT_AMBIENT_RANGE,
+            diffuse_intensity_range=aug.RGB.LIGHT_DIFFUSE_RANGE,
+            specular_intensity_range=aug.RGB.LIGHT_SPECULAR_RANGE,
+        )
+        lights["location"] = augment_light_t(keys[3], 1, aug.RGB.LIGHT_LOC_RANGE)
+        render = renderer(
+            verts_render, cam_t=cam_t, textures=texture,
+            lights_rgb_settings=lights,
+        )
+        iuv = render["iuv_images"]  # (B, wh, wh, 3) part/U/V
+        rgb = render["rgb_images"]
+
+        # ---------------- extreme crop + bbox crop w/ jitter (:187-206)
+        seg_extreme = random_extreme_crop(
+            keys[4], iuv[..., 0].astype(jnp.int32),
+            extreme_crop_probability=aug.PROXY_REP.EXTREME_CROP_PROB,
+        )
+        crop = batch_crop_affine(
+            (img_wh, img_wh),
+            iuv=iuv, rgb=rgb, joints2d=j2d,
+            bbox_determiner=seg_extreme.astype(jnp.float32),
+            orig_scale_factor=cfg.DATA.BBOX_SCALE_FACTOR,
+            key=keys[5],
+            delta_scale_range=aug.BBOX.DELTA_SCALE_RANGE,
+            delta_centre_range=aug.BBOX.DELTA_CENTRE_RANGE,
+            out_of_frame_pad_val=-1.0,
+        )
+        iuv = crop["iuv"]
+        rgb = crop["rgb"]
+        j2d = crop["joints2d"]
+        seg = jnp.round(iuv[..., 0]).astype(jnp.int32)
+
+        # ---------------- visibility + occlusion checks (:208-216)
+        j2d_vis = check_joints2d_visibility(j2d, img_wh, j2d_vis)
+        seg14 = convert_densepose_seg_to_14part_labels(jnp.maximum(seg, 0))
+        j2d_vis = check_joints2d_occluded(seg14, j2d_vis)
+
+        # ---------------- proxy + RGB augmentation (:218-233)
+        seg_aug, j2d_input, j2d_vis = augment_proxy_representation(
+            keys[6], seg, j2d, j2d_vis, aug.PROXY_REP
+        )
+        rgb = batch_add_rgb_background(background, rgb, seg_aug)
+        rgb, j2d_input, j2d_vis = augment_rgb(
+            keys[7], rgb, j2d_input, j2d_vis, aug.RGB
+        )
+
+        # ---------------- edges + heatmaps → proxy (:234-245)
+        edges = edge_detector(rgb)
+        edge_in = (
+            edges["thresholded_thin_edges"]
+            if cfg.DATA.EDGE_NMS
+            else edges["thresholded_grad_magnitude"]
+        )
+        heatmaps = convert_2d_joints_to_gaussian_heatmaps(
+            j2d_input, img_wh, std=cfg.DATA.HEATMAP_GAUSSIAN_STD
+        )
+        heatmaps = heatmaps * j2d_vis.astype(jnp.float32)[:, :, None, None]
+        proxy = jnp.concatenate(
+            [edge_in, jnp.moveaxis(heatmaps, 1, -1)], axis=-1
+        )
+
+        return {
+            "proxy": proxy,
+            "pose_rotmats": body_r,
+            "glob_rotmats": glob_r,
+            "shape": shape,
+            "joints2D": j2d,
+            "joints2D_vis": j2d_vis.astype(jnp.float32),
+            "rgb_in": rgb,
+        }
+
+    return synth_batch
+
+
+def train_humaniflow(
+    model: HumaniflowModel,
+    smpl: SMPLModel,
+    cfg: HumaniflowConfig,
+    renderer,
+    train_dataset,
+    val_dataset,
+    experiment_dir: str,
+    params=None,
+    opt_state=None,
+    metrics_to_track=("PVE-SC", "joints2D-L2E"),
+    save_val_metrics=("PVE-SC",),
+    resume_state: Optional[Dict] = None,
+    num_epochs: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
+    key=None,
+    mesh=None,
+):
+    """Epoch loop (reference: train_humaniflow.py:94-407)."""
+    os.makedirs(experiment_dir, exist_ok=True)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    optimizer = optax.adam(cfg.TRAIN.LR)
+    if params is None:
+        key, sub = jax.random.split(key)
+        params = model.init(
+            sub, input_shape=(1, cfg.DATA.PROXY_REP_SIZE, cfg.DATA.PROXY_REP_SIZE,
+                              cfg.MODEL.NUM_IN_CHANNELS),
+        )
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    synth_batch = make_synth_data_fn(cfg, smpl, renderer)
+    step_fn = make_train_step(
+        model, smpl, cfg.LOSS, optimizer, img_wh=cfg.DATA.PROXY_REP_SIZE
+    )
+    train_step = jax.jit(step_fn, donate_argnums=(0, 1))
+    # validation: same fused program without buffer donation; the returned
+    # update is discarded (loss/metrics only)
+    val_step = jax.jit(step_fn)
+
+    current_epoch = 0
+    best_epoch = 0
+    best_epoch_val_metrics = {m: np.inf for m in save_val_metrics}
+    best_params = params
+    if resume_state is not None:
+        from ..utils.checkpoints import load_training_info_from_checkpoint
+
+        current_epoch, best_epoch, best_epoch_val_metrics = (
+            load_training_info_from_checkpoint(resume_state, save_val_metrics)
+        )
+        params = resume_state["params"]
+        opt_state = resume_state["opt_state"]
+        best_params = resume_state.get("best_params", params)
+
+    tracker = TrainingLossesAndMetricsTracker(
+        metrics_to_track, cfg.DATA.PROXY_REP_SIZE,
+        log_save_path=os.path.join(experiment_dir, "log.pkl"),
+        load_logs=resume_state is not None, current_epoch=current_epoch,
+    )
+
+    num_epochs = num_epochs or cfg.TRAIN.NUM_EPOCHS
+    bsz = cfg.TRAIN.BATCH_SIZE
+    for epoch in range(current_epoch, num_epochs):
+        tracker.initialise_loss_metric_sums()
+        for split, dataset in (("train", train_dataset), ("val", val_dataset)):
+            step_count = 0
+            for host_batch in dataset.epoch_batches(bsz):
+                key, k1, k2 = jax.random.split(key, 3)
+                batch = synth_batch(
+                    k1,
+                    jnp.asarray(host_batch["pose"]),
+                    jnp.asarray(host_batch["texture"]),
+                    jnp.asarray(host_batch["background"]),
+                )
+                batch.pop("rgb_in")
+                if split == "train":
+                    params, opt_state, metrics = train_step(params, opt_state, batch, k2)
+                else:
+                    _, _, metrics = val_step(params, opt_state, batch, k2)
+                tracker.loss_metric_sums[f"{split}_losses"] += float(metrics["total"]) * bsz
+                tracker.loss_metric_sums[f"{split}_num_samples"] += bsz
+                step_count += 1
+                if steps_per_epoch is not None and step_count >= steps_per_epoch:
+                    break
+        tracker.update_per_epoch()
+
+        if tracker.determine_save_model_weights_this_epoch(
+            save_val_metrics, best_epoch_val_metrics
+        ):
+            best_epoch = epoch
+            for m in save_val_metrics:
+                best_epoch_val_metrics[m] = tracker.epochs_history[f"val_{m}"][-1]
+            best_params = params
+
+        if epoch % cfg.TRAIN.EPOCHS_PER_SAVE == 0:
+            save_checkpoint(
+                experiment_dir, f"epoch_{epoch:06d}",
+                {
+                    "epoch": epoch,
+                    "best_epoch": best_epoch,
+                    "best_epoch_val_metrics": dict(best_epoch_val_metrics),
+                    "params": params,
+                    "best_params": best_params,
+                    "opt_state": opt_state,
+                },
+            )
+    return params, best_params

@@ -1,0 +1,88 @@
+"""Evaluation CLI (reference: scripts/run_evaluate.py).
+
+`-D ssp3d -B 32 -N 100` / `-D 3dpw -B 32 -N 10` reproduce the reference's
+eval protocols (BASELINE.md)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", "-D", type=str, required=True, choices=["ssp3d", "3dpw"])
+    parser.add_argument("--checkpoint", "-C", type=str, required=True)
+    parser.add_argument("--batch_size", "-B", type=int, default=32)
+    parser.add_argument("--num_samples", "-N", type=int, default=10)
+    parser.add_argument("--save_path", "-S", type=str, default=None)
+    parser.add_argument("--extreme_crop_scale", type=float, default=None)
+    parser.add_argument("--cfg", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    from humaniflow_tpu.configs import load_config, paths
+    from humaniflow_tpu.data.datasets import PW3DEvalDataset, SSP3DEvalDataset
+    from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
+    from humaniflow_tpu.pipelines.evaluate import evaluate_humaniflow
+    from humaniflow_tpu.utils.checkpoints import load_checkpoint
+
+    cfg = load_config(args.cfg)
+    model = HumaniflowModel(cfg.MODEL)
+
+    if args.checkpoint.endswith(".tar"):
+        from humaniflow_tpu.utils.convert_torch import convert_humaniflow_file
+
+        params = convert_humaniflow_file(args.checkpoint, model)
+    else:
+        state = load_checkpoint(args.checkpoint)
+        params = state.get("best_params", state.get("params", state))
+
+    regs = {
+        "extra": paths.J_REGRESSOR_EXTRA,
+        "cocoplus": paths.COCOPLUS_REGRESSOR,
+        "h36m": paths.H36M_REGRESSOR,
+    }
+    smpl_neutral = load_smpl_npz(paths.SMPL_NEUTRAL, regressor_paths=regs)
+    smpl_male = load_smpl_npz(paths.SMPL_MALE, regressor_paths=regs)
+    smpl_female = load_smpl_npz(paths.SMPL_FEMALE, regressor_paths=regs)
+
+    # metric sets per dataset (reference: scripts/run_evaluate.py:70-94)
+    if args.dataset == "3dpw":
+        metrics = ["PVE", "PVE-SC", "PVE-PA", "PVE-T-SC", "MPJPE", "MPJPE-SC", "MPJPE-PA"]
+        metrics += [m + "_samples_min" for m in metrics]
+        metrics += ["joints2D-L2E", "joints2Dsamples-L2E"]
+        metrics += ["verts3D_sample_diversity", "joints3D_sample_diversity",
+                    "joints3D_invis_sample_diversity", "joints3D_vis_sample_diversity"]
+        dataset = PW3DEvalDataset(
+            paths.PW3D_PATH, cfg, extreme_crop_scale=args.extreme_crop_scale,
+            visible_joints_threshold=0.6,
+        )
+        save_path = args.save_path or f"./evaluations/3dpw_eval_{args.num_samples}_samples"
+        renderer = None
+    else:
+        metrics = ["PVE-SC", "PVE-PA", "PVE-T-SC", "joints2D-L2E", "silhouette-IOU",
+                   "joints2Dsamples-L2E", "silhouettesamples-IOU",
+                   "verts3D_sample_diversity", "joints3D_sample_diversity",
+                   "joints3D_invis_sample_diversity", "joints3D_vis_sample_diversity"]
+        dataset = SSP3DEvalDataset(paths.SSP3D_PATH, cfg)
+        save_path = args.save_path or f"./evaluations/ssp3d_eval_{args.num_samples}_samples"
+        from humaniflow_tpu.render import TexturedIUVRenderer
+
+        renderer = TexturedIUVRenderer(
+            img_wh=cfg.DATA.PROXY_REP_SIZE, projection_type="orthographic",
+            render_rgb=False,
+        )
+
+    final = evaluate_humaniflow(
+        model, params, smpl_neutral, smpl_male, smpl_female, cfg, dataset,
+        metrics, batch_size=args.batch_size, num_pred_samples=args.num_samples,
+        save_path=save_path, save_per_frame_metrics=True, renderer=renderer,
+    )
+    print(final)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Prediction CLI (reference: scripts/run_predict.py).
+
+Runs the full uncropped-image pipeline on a directory of images:
+person bbox (optional torchvision detector / whole image) → HRNet keypoints →
+proxy crop → HumaniflowModel distribution inference → SMPL meshes +
+per-vertex uncertainty → prediction npz dumps (+ visualisations when the
+renderer assets are present).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image_dir", "-I", type=str, required=True)
+    parser.add_argument("--save_dir", "-S", type=str, required=True)
+    parser.add_argument("--checkpoint", "-C", type=str, default=None,
+                        help="orbax checkpoint dir or reference .tar")
+    parser.add_argument("--hrnet_checkpoint", type=str, default=None)
+    parser.add_argument("--num_samples", "-N", type=int, default=50)
+    parser.add_argument("--use_detector", action="store_true",
+                        help="use torchvision Mask-RCNN (CPU) for person bboxes")
+    parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--visualise", "-V", action="store_true")
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+
+    from humaniflow_tpu.configs import load_config, paths
+    from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
+    from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
+    from humaniflow_tpu.pipelines.predict import predict_humaniflow, save_pred_output
+    from humaniflow_tpu.pipelines.predict_hrnet import predict_hrnet
+    from humaniflow_tpu.utils.checkpoints import load_checkpoint
+
+    cfg = load_config(args.cfg)
+    model = HumaniflowModel(cfg.MODEL)
+
+    # ---- weights
+    if args.checkpoint and args.checkpoint.endswith(".tar"):
+        from humaniflow_tpu.utils.convert_torch import convert_humaniflow_file
+
+        params = convert_humaniflow_file(args.checkpoint, model)
+    elif args.checkpoint:
+        params = load_checkpoint(args.checkpoint)
+        params = params.get("best_params", params.get("params", params))
+    else:
+        print("WARNING: no checkpoint given — using random init")
+        params = model.init(jax.random.PRNGKey(0))
+
+    hrnet = PoseHighResolutionNet()
+    if args.hrnet_checkpoint:
+        from humaniflow_tpu.utils.convert_torch import convert_hrnet_file
+
+        hrnet_params = convert_hrnet_file(args.hrnet_checkpoint)
+    else:
+        print("WARNING: no HRNet checkpoint — using random init")
+        import jax.numpy as jnp
+
+        hrnet_params = hrnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 384, 288, 3)))
+
+    smpl = load_smpl_npz(
+        paths.SMPL_NEUTRAL,
+        regressor_paths={
+            "extra": paths.J_REGRESSOR_EXTRA,
+            "cocoplus": paths.COCOPLUS_REGRESSOR,
+            "h36m": paths.H36M_REGRESSOR,
+        },
+    )
+
+    import cv2
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    fnames = sorted(
+        f for f in os.listdir(args.image_dir) if f.endswith((".png", ".jpg", ".jpeg"))
+    )
+    images, joints2d, confs = [], [], []
+    wh = cfg.DATA.PROXY_REP_SIZE
+    for fname in fnames:
+        img = cv2.cvtColor(
+            cv2.imread(os.path.join(args.image_dir, fname)), cv2.COLOR_BGR2RGB
+        ).astype(np.float32) / 255.0
+        hr = predict_hrnet(
+            hrnet, hrnet_params, img, use_torchvision_detector=args.use_detector
+        )
+        # re-crop HRNet crop to the proxy size (square centre crop of the
+        # 384x288 crop, reference predict_humaniflow.py:85-98)
+        from humaniflow_tpu.data.image_ops import batch_crop_affine
+        import jax.numpy as jnp
+
+        crop = batch_crop_affine(
+            (wh, wh),
+            rgb=jnp.asarray(hr["cropped_image"])[None],
+            joints2d=jnp.asarray(hr["joints2D"])[None],
+            bbox_centres=jnp.asarray([[384 / 2.0, 288 / 2.0]], jnp.float32),
+            bbox_heights=jnp.asarray([384.0]),
+            bbox_widths=jnp.asarray([384.0]),
+            orig_scale_factor=1.0,
+        )
+        images.append(np.asarray(crop["rgb"][0]))
+        joints2d.append(np.asarray(crop["joints2d"][0]))
+        confs.append(np.asarray(hr["joints2Dconfs"]))
+
+    pred = predict_humaniflow(
+        model, params, smpl, cfg,
+        np.stack(images), np.stack(joints2d), np.stack(confs),
+        num_samples=args.num_samples, save_dir=args.save_dir, fnames=fnames,
+    )
+    print(f"Saved predictions for {len(fnames)} images to {args.save_dir}")
+
+    if args.visualise:
+        from humaniflow_tpu.render import TexturedIUVRenderer
+        from humaniflow_tpu.utils.visualise import (
+            render_point_est_visualisation,
+            uncertainty_colourmap,
+        )
+
+        renderer = TexturedIUVRenderer(img_wh=wh, projection_type="orthographic")
+        colours = np.stack(
+            [uncertainty_colourmap(np.asarray(v)) for v in pred["vertex_uncertainty_l2"]]
+        )
+        from humaniflow_tpu.ops.rotation import aa_rotate_translate_points
+        import jax.numpy as jnp
+        import math
+
+        verts_flipped = aa_rotate_translate_points(
+            pred["verts_point_est"], jnp.asarray([1.0, 0.0, 0.0]), math.pi,
+            jnp.zeros(3),
+        )
+        figs = render_point_est_visualisation(
+            renderer, verts_flipped, pred["cam_wp"],
+            input_image=np.stack(images), vertex_colours=jnp.asarray(colours),
+        )
+        for i, fname in enumerate(fnames):
+            out = (figs["figure"][i][:, :, ::-1] * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(args.save_dir, os.path.splitext(fname)[0] + "_vis.png"), out
+            )
+        print("Saved visualisations.")
+
+
+if __name__ == "__main__":
+    main()

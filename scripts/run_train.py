@@ -1,0 +1,88 @@
+"""Training CLI (reference: scripts/run_train.py).
+
+Synthetic-data training with resume: `-R epoch` reloads the checkpoint and
+the frozen experiment config (reference :48-53); `-O KEY VALUE` applies
+dotted-path config overrides (reference :134).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment_dir", "-E", type=str, required=True)
+    parser.add_argument("--pose_params_from", "-P", type=str, default="all",
+                        choices=["all", "h36m", "up3d", "3dpw", "amass", "not_amass"])
+    parser.add_argument("--resume_epoch", "-R", type=int, default=None)
+    parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--cfg_overrides", "-O", nargs="*", default=[])
+    parser.add_argument("--num_devices", "-D", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    from humaniflow_tpu.configs import load_config, paths, save_config
+    from humaniflow_tpu.data.datasets import OnTheFlySMPLTrainDataset
+    from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
+    from humaniflow_tpu.parallel.mesh import make_mesh
+    from humaniflow_tpu.pipelines.train import train_humaniflow
+    from humaniflow_tpu.render import TexturedIUVRenderer
+    from humaniflow_tpu.utils.checkpoints import load_checkpoint
+
+    os.makedirs(args.experiment_dir, exist_ok=True)
+    frozen_cfg_path = os.path.join(args.experiment_dir, "config.yaml")
+    if args.resume_epoch is not None and os.path.exists(frozen_cfg_path):
+        cfg = load_config(frozen_cfg_path, args.cfg_overrides)
+    else:
+        cfg = load_config(args.cfg, args.cfg_overrides)
+        save_config(cfg, frozen_cfg_path)
+
+    train_dataset = OnTheFlySMPLTrainDataset(
+        poses_path=paths.TRAIN_POSES_PATH,
+        textures_path=paths.TRAIN_TEXTURES_PATH,
+        backgrounds_dir_path=paths.TRAIN_BACKGROUNDS_PATH,
+        params_from=args.pose_params_from,
+        img_wh=cfg.DATA.PROXY_REP_SIZE,
+    )
+    val_dataset = OnTheFlySMPLTrainDataset(
+        poses_path=paths.VAL_POSES_PATH,
+        textures_path=paths.VAL_TEXTURES_PATH,
+        backgrounds_dir_path=paths.VAL_BACKGROUNDS_PATH,
+        params_from=args.pose_params_from,
+        img_wh=cfg.DATA.PROXY_REP_SIZE,
+    )
+    print(f"Found {len(train_dataset)} train / {len(val_dataset)} val poses.")
+
+    smpl = load_smpl_npz(
+        paths.SMPL_NEUTRAL,
+        regressor_paths={
+            "extra": paths.J_REGRESSOR_EXTRA,
+            "cocoplus": paths.COCOPLUS_REGRESSOR,
+            "h36m": paths.H36M_REGRESSOR,
+        },
+    )
+    renderer = TexturedIUVRenderer(
+        img_wh=cfg.DATA.PROXY_REP_SIZE, projection_type="perspective",
+        focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH,
+    )
+    model = HumaniflowModel(cfg.MODEL)
+
+    resume_state = None
+    if args.resume_epoch is not None:
+        resume_state = load_checkpoint(
+            os.path.join(args.experiment_dir, f"epoch_{args.resume_epoch:06d}")
+        )
+
+    mesh = make_mesh(args.num_devices) if args.num_devices else None
+    train_humaniflow(
+        model, smpl, cfg, renderer, train_dataset, val_dataset,
+        args.experiment_dir, resume_state=resume_state, mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()

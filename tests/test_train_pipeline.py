@@ -1,0 +1,84 @@
+"""End-to-end training-pipeline smoke test: jitted synthetic-data generation
+(SMPL → render → crop → augment → Canny → heatmaps) feeding a train step."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from humaniflow_tpu.configs import get_humaniflow_cfg_defaults, paths
+from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
+from humaniflow_tpu.pipelines.train import make_synth_data_fn
+from humaniflow_tpu.pipelines.train_step import make_train_step
+
+IMG = 48
+B = 2
+
+needs_uv = pytest.mark.skipif(
+    not os.path.exists(paths.DENSEPOSE_UV), reason="UV_Processed.mat missing"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    cfg.TRAIN.BATCH_SIZE = B
+    # keep the reference FOV when shrinking the test image (focal 300 @ 256)
+    cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH = 300.0 * IMG / 256.0
+    smpl = synthetic_smpl(num_verts=6890)  # renderer needs full SMPL topology
+    renderer = TexturedIUVRenderer(
+        img_wh=IMG, projection_type="perspective",
+        focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
+        chunk=4096,
+    )
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    return cfg, smpl, renderer, model, params
+
+
+@needs_uv
+def test_synth_data_generation(setup):
+    cfg, smpl, renderer, model, params = setup
+    synth = make_synth_data_fn(cfg, smpl, renderer)
+    rng = np.random.default_rng(0)
+    pose72 = jnp.asarray(rng.normal(scale=0.3, size=(B, 72)), jnp.float32)
+    texture = jnp.asarray(rng.uniform(size=(B, 1200, 800, 3)), jnp.float32)
+    background = jnp.asarray(rng.uniform(size=(B, IMG, IMG, 3)), jnp.float32)
+
+    batch = synth(jax.random.PRNGKey(1), pose72, texture, background)
+    assert batch["proxy"].shape == (B, IMG, IMG, 18)
+    assert batch["pose_rotmats"].shape == (B, 23, 3, 3)
+    assert batch["joints2D"].shape == (B, 17, 2)
+    for k, v in batch.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # the proxy contains heatmap energy for at least some visible joints
+    assert float(batch["proxy"][..., 1:].max()) > 0.5
+    # rendered person composited over background: rgb in [0, 1]
+    assert 0.0 <= float(batch["rgb_in"].min()) and float(batch["rgb_in"].max()) <= 1.0
+
+
+@needs_uv
+def test_train_step_on_synth_batch(setup):
+    cfg, smpl, renderer, model, params = setup
+    synth = make_synth_data_fn(cfg, smpl, renderer)
+    rng = np.random.default_rng(1)
+    batch = synth(
+        jax.random.PRNGKey(2),
+        jnp.asarray(rng.normal(scale=0.3, size=(B, 72)), jnp.float32),
+        jnp.asarray(rng.uniform(size=(B, 1200, 800, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(size=(B, IMG, IMG, 3)), jnp.float32),
+    )
+    batch.pop("rgb_in")
+    opt = optax.adam(1e-4)
+    step = jax.jit(
+        make_train_step(model, smpl, cfg.LOSS, opt, img_wh=IMG, num_j2d_samples=2)
+    )
+    new_params, _, metrics = step(params, opt.init(params), batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total"]))
+    assert float(metrics["nan_skipped"]) == 0.0
