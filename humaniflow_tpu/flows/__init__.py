@@ -1,3 +1,8 @@
+from .autoregressive import (
+    ConditionalAffineAutoregressive,
+    ConditionalSplineAutoregressive,
+    FlowBatchNorm,
+)
 from .dense_nn import apply_dense_nn, init_dense_nn
 from .factory import ConditionalFlow, create_conditional_norm_flow
 from .so3_flow import SO3FlowDistribution
@@ -13,6 +18,9 @@ from .transforms import (
 )
 
 __all__ = [
+    "ConditionalAffineAutoregressive",
+    "ConditionalSplineAutoregressive",
+    "FlowBatchNorm",
     "apply_dense_nn",
     "init_dense_nn",
     "ConditionalFlow",

@@ -17,6 +17,11 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .autoregressive import (
+    ConditionalAffineAutoregressive,
+    ConditionalSplineAutoregressive,
+    FlowBatchNorm,
+)
 from .transforms import (
     ConditionalAdditiveCoupling,
     ConditionalAffineCoupling,
@@ -93,6 +98,7 @@ def create_conditional_norm_flow(
     transform_hidden_dims: Sequence[int] = (64, 32, 32),
     permute_type: Optional[str] = "permute",
     permute_hidden_dims: Optional[Sequence[int]] = None,
+    batch_norm: bool = False,
     radial_tanh_radius: Optional[float] = None,
     base_dist_std: float = 1.0,
     count_bins: int = 8,
@@ -105,8 +111,10 @@ def create_conditional_norm_flow(
     """
     assert transform_type in (
         "spline_coupling",
+        "spline_masked",
         "additive_coupling",
         "affine_coupling",
+        "affine_masked",
     ), f"transform_type {transform_type} not supported"
     transforms = []
     idx = list(range(event_dim))
@@ -127,6 +135,8 @@ def create_conditional_norm_flow(
                 )
             else:
                 raise ValueError(f"permute_type {permute_type} not supported")
+        if batch_norm:
+            transforms.append(FlowBatchNorm(input_dim=event_dim))
         if transform_type == "spline_coupling":
             transforms.append(
                 ConditionalSplineCoupling(
@@ -151,6 +161,24 @@ def create_conditional_norm_flow(
                     input_dim=event_dim,
                     context_dim=context_dim,
                     hidden_dims=tuple(transform_hidden_dims),
+                )
+            )
+        elif transform_type == "affine_masked":
+            transforms.append(
+                ConditionalAffineAutoregressive(
+                    input_dim=event_dim,
+                    context_dim=context_dim,
+                    hidden_dims=tuple(transform_hidden_dims),
+                )
+            )
+        elif transform_type == "spline_masked":
+            transforms.append(
+                ConditionalSplineAutoregressive(
+                    input_dim=event_dim,
+                    context_dim=context_dim,
+                    hidden_dims=tuple(transform_hidden_dims),
+                    count_bins=count_bins,
+                    bound=bound,
                 )
             )
     if radial_tanh_radius is not None:

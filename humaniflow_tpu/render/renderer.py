@@ -103,10 +103,39 @@ class TexturedIUVRenderer:
     render_rgb: bool = True
     uv_mat_path: Optional[str] = None
     chunk: int = 2048
+    # Opt-in tile-culled Pallas kernel (render/pallas_rasterizer.py): ~3×
+    # faster on sparse scenes (small scattered triangles) but the scalar
+    # per-face inner loop loses to XLA's dense brute force on full-body
+    # meshes — keep the XLA path as default until the kernel gains
+    # vectorised per-chunk face batching / two-level binning.
+    use_pallas: bool = False
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
         self.dp = load_densepose_uv(self.uv_mat_path)
+        if self.use_pallas and (
+            jax.default_backend() == "cpu" or self.img_wh % 128 != 0
+        ):
+            self.use_pallas = False
+
+    def _rasterize(self, screen_verts):
+        """Rasterize with the tile-culled Pallas kernel on TPU (faces sorted
+        by current centroid row at runtime for culling coherence), falling
+        back to the XLA reference rasterizer elsewhere."""
+        if not self.use_pallas:
+            return (
+                rasterize(screen_verts, self.dp["faces"], self.img_wh, chunk=self.chunk),
+                self.dp["faces"],
+                self.dp["face_part"],
+            )
+        from .pallas_rasterizer import rasterize_pallas
+
+        cy = jnp.mean(screen_verts[0, self.dp["faces"], 1], axis=-1)
+        order = jnp.argsort(cy)
+        faces_sorted = self.dp["faces"][order]
+        part_sorted = self.dp["face_part"][order]
+        frags = rasterize_pallas(screen_verts, faces_sorted, self.img_wh)
+        return frags, faces_sorted, part_sorted
 
     def _screen_verts(self, vertices, cam_t=None, orthographic_scale=None):
         if self.projection_type == "orthographic":
@@ -152,14 +181,14 @@ class TexturedIUVRenderer:
         b = vertices.shape[0]
         dp_verts = vertices[:, self.dp["vertex_map"]]  # (B, 7829, 3)
         screen = self._screen_verts(dp_verts, cam_t, orthographic_scale)
-        frags = rasterize(screen, self.dp["faces"], self.img_wh, chunk=self.chunk)
+        frags, faces, face_part = self._rasterize(screen)
 
         # flat part index per pixel + interpolated UV (reference IUV shading)
         part = jnp.where(
-            frags.mask, self.dp["face_part"][jnp.maximum(frags.face_idx, 0)], 0
+            frags.mask, face_part[jnp.maximum(frags.face_idx, 0)], 0
         ).astype(jnp.float32)
         uv = interpolate_face_attributes(
-            frags, self.dp["faces"],
+            frags, faces,
             jnp.stack([self.dp["u"], self.dp["v"]], axis=-1),
         )
         iuv = jnp.concatenate([part[..., None], uv], axis=-1)
@@ -173,7 +202,7 @@ class TexturedIUVRenderer:
         if self.render_rgb and (textures is not None or verts_features is not None):
             if textures is not None:
                 atlas_uv = interpolate_face_attributes(
-                    frags, self.dp["faces"],
+                    frags, faces,
                     jnp.stack([self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1),
                 )
                 th, tw = textures.shape[1:3]
@@ -186,7 +215,7 @@ class TexturedIUVRenderer:
                 )(textures, ty, tx)  # (B, wh, wh, 3)
             else:
                 albedo = interpolate_face_attributes(
-                    frags, self.dp["faces"],
+                    frags, faces,
                     verts_features[:, self.dp["vertex_map"]]
                     if verts_features.ndim == 3
                     else verts_features[self.dp["vertex_map"]],
@@ -196,7 +225,7 @@ class TexturedIUVRenderer:
             if lights_rgb_settings is not None:
                 lights.update(lights_rgb_settings)
 
-            normals = face_normals(dp_verts, self.dp["faces"])  # (B, F, 3)
+            normals = face_normals(dp_verts, faces)  # (B, F, 3)
             pix_normal = jnp.where(
                 frags.mask[..., None],
                 jax.vmap(lambda n, f: n[jnp.maximum(f, 0)])(normals, frags.face_idx),
@@ -204,7 +233,7 @@ class TexturedIUVRenderer:
             )
             # pixel world position via barycentric interp
             pix_pos = interpolate_face_attributes(
-                frags, self.dp["faces"],
+                frags, faces,
                 dp_verts if dp_verts.ndim == 3 else dp_verts[None],
             )
             light_dir = lights["location"][:, None, None, :] - pix_pos
