@@ -50,14 +50,24 @@ def _make_knots(unnormalized, bound, min_frac):
     return sizes, cum
 
 
-def _search_bins(knots, x):
-    """Index of the bin containing each x (clamped to valid range)."""
+def _search_bins_onehot(knots, x):
+    """One-hot indicator of the bin containing each x.
+
+    Gather-free: TPU XLA lowers take_along_axis to a slow generic gather at
+    these shapes (measured ~0.15 ms per gather — the former hot spot of the
+    whole flow); a (K,)-wide one-hot contraction is a fused VPU op instead.
+
+    :return: (..., K) float one-hot over bins (clamped to the valid range).
+    """
     idx = jnp.sum(x[..., None] >= (knots + EPS), axis=-1) - 1
-    return jnp.clip(idx, 0, knots.shape[-1] - 2)
+    idx = jnp.clip(idx, 0, knots.shape[-1] - 2)
+    k = knots.shape[-1] - 1
+    return (idx[..., None] == jnp.arange(k)).astype(x.dtype)
 
 
-def _gather(params, idx):
-    return jnp.take_along_axis(params, idx[..., None], axis=-1)[..., 0]
+def _gather(params, onehot):
+    """Select per-element bin parameters via one-hot contraction."""
+    return jnp.sum(params * onehot, axis=-1)
 
 
 def monotonic_rational_spline(
@@ -93,16 +103,16 @@ def monotonic_rational_spline(
 
     lambdas = (1.0 - 2.0 * MIN_LAMBDA) * jax.nn.sigmoid(l_unnorm) + MIN_LAMBDA
 
-    bin_idx = _search_bins(cumheights if inverse else cumwidths, x)
+    onehot = _search_bins_onehot(cumheights if inverse else cumwidths, x)
 
-    in_w = _gather(widths, bin_idx)
-    in_cw = _gather(cumwidths, bin_idx)
-    in_ch = _gather(cumheights, bin_idx)
-    in_h = _gather(heights, bin_idx)
-    in_delta = _gather(heights / widths, bin_idx)
-    in_d = _gather(derivatives, bin_idx)
-    in_d1 = _gather(derivatives[..., 1:], bin_idx)
-    lam = _gather(lambdas, bin_idx)
+    in_w = _gather(widths, onehot)
+    in_cw = _gather(cumwidths[..., :-1], onehot)
+    in_ch = _gather(cumheights[..., :-1], onehot)
+    in_h = _gather(heights, onehot)
+    in_delta = _gather(heights / widths, onehot)
+    in_d = _gather(derivatives[..., :-1], onehot)
+    in_d1 = _gather(derivatives[..., 1:], onehot)
+    lam = _gather(lambdas, onehot)
 
     # LRS weights: wa at the left knot (free; set 1), wb at the right knot,
     # wc at the interior division point.

@@ -102,6 +102,20 @@ class HumaniflowModel:
             mask[part, : len(anc)] = 1.0
         self.anc_idx = jnp.asarray(idx)
         self.anc_mask = jnp.asarray(mask)
+        # gather-free ancestor selection: one-hot (23, MAX_A, 23) such that
+        # select[p, m, j] = mask[p, m] · [idx[p, m] == j]; contracting it with
+        # the rotation buffer is an MXU matmul instead of an XLA gather
+        # (TPU gathers at these shapes are ~100× slower than the matmul)
+        sel = np.zeros(
+            (self.num_bodyparts, self.max_ancestors, self.num_bodyparts), np.float32
+        )
+        for part, anc in self.ancestors.items():
+            for m, a in enumerate(anc):
+                sel[part, m, a] = 1.0
+        self.anc_select = jnp.asarray(sel)
+        # scatter-free buffer update: one-hot (23,) rows per part.  Kept as
+        # numpy so per-level slices are baked in as constants at trace time.
+        self.part_onehot = np.eye(self.num_bodyparts, dtype=np.float32)
 
         nf = cfg.NORM_FLOW
         self.flow: ConditionalFlow = create_conditional_norm_flow(
@@ -191,17 +205,22 @@ class HumaniflowModel:
         :return: (..., P, ctx_dim)
         """
         parts_arr = np.asarray(parts)
-        idx = self.anc_idx[parts_arr]          # (P, MAX_A)
-        mask = self.anc_mask[parts_arr]        # (P, MAX_A)
-        anc = pose_so3_buffer[..., idx, :, :]  # (..., P, MAX_A, 3, 3)
-        anc = anc * mask[..., None, None]
-        anc_flat = anc.reshape(anc.shape[:-3] + (9 * self.max_ancestors,))
+        sel = self.anc_select[parts_arr]       # (P, MAX_A, 23)
+        buf_flat = pose_so3_buffer.reshape(pose_so3_buffer.shape[:-3] + (self.num_bodyparts, 9))
+        # masked ancestor gather as a matmul (gather-free; see anc_select)
+        anc = jnp.einsum(
+            "...jc,pmj->...pmc", buf_flat, sel,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (..., P, MAX_A, 9)
+        anc_flat = anc.reshape(anc.shape[:-2] + (9 * self.max_ancestors,))
         isgc_b = jnp.broadcast_to(
             isgc[..., None, :], anc_flat.shape[:-1] + (self.isgc_dim,)
         )
         ctx_in = jnp.concatenate([isgc_b, anc_flat], axis=-1)  # (..., P, 319)
-        w = params["fc_flow_context"]["kernel"][parts_arr]  # (P, in, ctx)
-        b = params["fc_flow_context"]["bias"][parts_arr]
+        oh = jnp.asarray(self.part_onehot[parts_arr])  # (P, 23) constant
+        hi = jax.lax.Precision.HIGHEST
+        w = jnp.tensordot(oh, params["fc_flow_context"]["kernel"], axes=1, precision=hi)
+        b = jnp.tensordot(oh, params["fc_flow_context"]["bias"], axes=1, precision=hi)
         ctx = (
             jnp.einsum(
                 "...pi,pio->...po", ctx_in, w, precision=jax.lax.Precision.HIGHEST
@@ -211,8 +230,12 @@ class HumaniflowModel:
         return jax.nn.elu(ctx)
 
     def _part_flow_params(self, params, parts):
-        parts_arr = np.asarray(parts)
-        return jax.tree_util.tree_map(lambda a: a[parts_arr], params["flows"])
+        # one-hot row-select instead of XLA gather (slow on TPU)
+        oh = jnp.asarray(self.part_onehot[np.asarray(parts)])
+        hi = jax.lax.Precision.HIGHEST
+        return jax.tree_util.tree_map(
+            lambda a: jnp.tensordot(oh, a, axes=1, precision=hi), params["flows"]
+        )
 
     def _autoregress(self, params, isgc, key=None):
         """Run the depth-level AR loop.
@@ -239,9 +262,17 @@ class HumaniflowModel:
                 )
                 x = self.flow.forward(flow_p, z, ctx)
             r = so3_exp(x)
+            # scatter-free buffer update: one-hot blend over the part axis
             parts_arr = np.asarray(parts)
-            so3_buf = so3_buf.at[..., parts_arr, :].set(x)
-            rot_buf = rot_buf.at[..., parts_arr, :, :].set(r)
+            oh = jnp.asarray(self.part_onehot[parts_arr])   # (P, 23)
+            covered = jnp.asarray(self.part_onehot[parts_arr].sum(0))  # (23,)
+            hi = jax.lax.Precision.HIGHEST  # one-hot blend must not quantize
+            so3_buf = so3_buf * (1.0 - covered[:, None]) + jnp.einsum(
+                "...pc,pj->...jc", x, oh, precision=hi
+            )
+            rot_buf = rot_buf * (1.0 - covered[:, None, None]) + jnp.einsum(
+                "...pab,pj->...jab", r, oh, precision=hi
+            )
         return so3_buf, rot_buf
 
     # --------------------------------------------------------------- forward

@@ -164,36 +164,60 @@ def _convex_rows(rng, rows: int, cols: int) -> np.ndarray:
     return w / w.sum(axis=1, keepdims=True)
 
 
+# Kinematic-tree depth levels over all 24 joints (root at level 0): joints
+# at the same depth compose against already-finished parents, so the chain
+# runs in max-depth (8) steps of batched (R, t) composition instead of 23
+# sequential 4x4 matmuls.
+_depth = {0: 0}
+for _j in range(1, NUM_SMPL_JOINTS):
+    _depth[_j] = _depth[SMPL_PARENTS[_j]] + 1
+_JOINT_LEVELS = [
+    tuple(j for j in range(NUM_SMPL_JOINTS) if _depth[j] == d)
+    for d in range(max(_depth.values()) + 1)
+]
+
+
 def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):
-    """Forward-kinematic chain: per-joint world transforms + LBS-relative
-    transforms (smplx lbs.batch_rigid_transform equivalent).
+    """Forward-kinematic chain: per-joint world rotations/translations + the
+    LBS-relative transforms as (R (B,24,3,3), t (B,24,3)) pairs (no 4x4
+    homogeneous matrices — smplx lbs.batch_rigid_transform equivalent).
 
     :param rot_mats: (B, 24, 3, 3); :param joints: (B, 24, 3) rest joints.
-    :return: (posed_joints (B, 24, 3), rel_transforms (B, 24, 4, 4))
+    :return: (posed_joints (B,24,3), rel_R (B,24,3,3), rel_t (B,24,3))
     """
     hi = jax.lax.Precision.HIGHEST
-    rel_joints = joints.at[:, 1:].add(-joints[:, list(SMPL_PARENTS[1:])])
+    b = rot_mats.shape[0]
+    parents = np.asarray(SMPL_PARENTS[1:])
+    rel_joints = joints.at[:, 1:].add(-joints[:, list(parents)])
 
-    def make_tf(rot, t):
-        tf = jnp.concatenate([rot, t[..., None]], axis=-1)  # (B, 3, 4)
-        bottom = jnp.broadcast_to(
-            jnp.array([0.0, 0.0, 0.0, 1.0], rot.dtype), tf.shape[:-2] + (1, 4)
+    world_R = jnp.zeros_like(rot_mats)
+    world_t = jnp.zeros_like(joints)
+    world_R = world_R.at[:, 0].set(rot_mats[:, 0])
+    world_t = world_t.at[:, 0].set(rel_joints[:, 0])
+    eye24 = np.eye(NUM_SMPL_JOINTS, dtype=np.float32)
+    for level in _JOINT_LEVELS[1:]:
+        lv = np.asarray(level)
+        par = np.asarray([SMPL_PARENTS[j] for j in level])
+        # gather-free parent select (one-hot matmul) + level compose
+        sel_p = jnp.asarray(eye24[par])              # (L, 24)
+        pr = jnp.einsum("lj,bjik->blik", sel_p, world_R, precision=hi)
+        pt = jnp.einsum("lj,bjk->blk", sel_p, world_t, precision=hi)
+        lr = jnp.einsum("lj,bjik->blik", jnp.asarray(eye24[lv]), rot_mats, precision=hi)
+        lt = jnp.einsum("lj,bjk->blk", jnp.asarray(eye24[lv]), rel_joints, precision=hi)
+        new_R = jnp.einsum("blik,blkm->blim", pr, lr, precision=hi)
+        new_t = jnp.einsum("blik,blk->bli", pr, lt, precision=hi) + pt
+        cov = jnp.asarray(eye24[lv].sum(0))          # (24,)
+        world_R = world_R * (1.0 - cov[:, None, None]) + jnp.einsum(
+            "blik,lj->bjik", new_R, jnp.asarray(eye24[lv]), precision=hi
         )
-        return jnp.concatenate([tf, bottom], axis=-2)
-
-    transforms = [make_tf(rot_mats[:, 0], rel_joints[:, 0])]
-    for i in range(1, NUM_SMPL_JOINTS):
-        local = make_tf(rot_mats[:, i], rel_joints[:, i])
-        transforms.append(
-            jnp.matmul(transforms[SMPL_PARENTS[i]], local, precision=hi)
+        world_t = world_t * (1.0 - cov[:, None]) + jnp.einsum(
+            "blk,lj->bjk", new_t, jnp.asarray(eye24[lv]), precision=hi
         )
-    world = jnp.stack(transforms, axis=1)  # (B, 24, 4, 4)
 
-    posed_joints = world[..., :3, 3]
+    posed_joints = world_t
     # Relative transform: subtract the rest-pose joint contribution.
-    correction = jnp.einsum("bjik,bjk->bji", world[..., :3, :3], joints, precision=hi)
-    rel = world.at[..., :3, 3].add(-correction)
-    return posed_joints, rel
+    rel_t = world_t - jnp.einsum("bjik,bjk->bji", world_R, joints, precision=hi)
+    return posed_joints, world_R, rel_t
 
 
 def smpl_forward(
@@ -232,26 +256,38 @@ def smpl_forward(
     )
     v_posed = v_shaped + pose_offsets
 
-    # Kinematic chain + LBS
-    posed_joints, rel_tf = _rigid_transform_chain(rot_mats, joints_rest)
-    vert_tf = jnp.einsum("vj,bjik->bvik", model.lbs_weights, rel_tf, precision=hi)
+    # Kinematic chain + LBS.  The per-joint transforms are packed as
+    # (B, 24, 12) rows [R | t] and contracted with the skinning weights into
+    # a single (B, V, 12) matmul — no (B, V, 4, 4) materialisation (at
+    # B·N=3200 that intermediate alone is 1.4 GB of HBM traffic).
+    posed_joints, world_R, rel_t = _rigid_transform_chain(rot_mats, joints_rest)
+    a12 = jnp.concatenate(
+        [world_R.reshape(b, NUM_SMPL_JOINTS, 9), rel_t], axis=-1
+    )  # (B, 24, 12)
+    t12 = jnp.einsum("vj,bjc->bvc", model.lbs_weights, a12, precision=hi)
+    rot = t12[..., :9].reshape(b, -1, 3, 3)
     verts = (
-        jnp.einsum("bvik,bvk->bvi", vert_tf[..., :3, :3], v_posed, precision=hi)
-        + vert_tf[..., :3, 3]
+        jnp.einsum("bvik,bvk->bvi", rot, v_posed, precision=hi) + t12[..., 9:]
     )
 
-    # Joint set: 24 kinematic + 21 vertex landmarks + regressed stacks
-    extra_verts = verts[:, model.extra_joint_vertex_ids]
-    joints = [posed_joints, extra_verts]
+    # Joint set: 24 kinematic + 21 vertex landmarks + regressed stacks, all
+    # landmark/regressor rows fused into ONE (J, V) matmul over the vertices.
+    reg_rows = [
+        jnp.zeros((21, model.num_verts), jnp.float32)
+        .at[jnp.arange(21), model.extra_joint_vertex_ids]
+        .set(1.0)
+    ]
     for reg in (
         model.j_regressor_extra,
         model.j_regressor_cocoplus,
         model.j_regressor_h36m,
     ):
         if reg is not None:
-            joints.append(jnp.einsum("jv,bvk->bjk", reg, verts, precision=hi))
+            reg_rows.append(reg)
+    combined = jnp.concatenate(reg_rows, axis=0)  # (21+9+19+17, V)
+    regressed = jnp.einsum("jv,bvk->bjk", combined, verts, precision=hi)
     return {
         "vertices": verts,
-        "joints": jnp.concatenate(joints, axis=1),
+        "joints": jnp.concatenate([posed_joints, regressed], axis=1),
         "smpl_joints": posed_joints,
     }
