@@ -117,6 +117,10 @@ class TexturedIUVRenderer:
             jax.default_backend() == "cpu" or self.img_wh % 128 != 0
         ):
             self.use_pallas = False
+        # jit the whole render pipeline (None args are empty pytrees; a
+        # None→array change simply retraces)
+        self._render_jit = jax.jit(self._render)
+        self._silhouette_jit = jax.jit(self._render_silhouette_impl)
 
     def _rasterize(self, screen_verts):
         """Rasterize with the tile-culled Pallas kernel on TPU (faces sorted
@@ -160,6 +164,20 @@ class TexturedIUVRenderer:
         )
 
     def __call__(
+        self,
+        vertices: jax.Array,
+        cam_t: Optional[jax.Array] = None,
+        orthographic_scale: Optional[jax.Array] = None,
+        textures: Optional[jax.Array] = None,
+        lights_rgb_settings: Optional[Dict] = None,
+        verts_features: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        return self._render_jit(
+            vertices, cam_t, orthographic_scale, textures,
+            lights_rgb_settings, verts_features,
+        )
+
+    def _render(
         self,
         vertices: jax.Array,
         cam_t: Optional[jax.Array] = None,
@@ -248,16 +266,20 @@ class TexturedIUVRenderer:
 
         return out
 
-    def render_silhouette(self, vertices, cam_wp):
-        """Fast silhouette-only path for eval IOU: weak-perspective cam given
-        as (B, 3) = (scale, tx, ty) (reference eval: cam_t from cam_wp with
-        z=2.5, evaluate_humaniflow.py:120-122)."""
+    def _render_silhouette_impl(self, vertices, cam_wp):
+        from .rasterizer import rasterize_coverage
+
         cam_t = jnp.stack(
             [cam_wp[:, 1], cam_wp[:, 2], jnp.full_like(cam_wp[:, 0], 2.5)], axis=-1
         )
         scale = cam_wp[:, [0, 0]]
-        out = self(
-            vertices, cam_t=cam_t, orthographic_scale=scale, textures=None,
-            verts_features=None,
-        )
-        return out["silhouettes"]
+        dp_verts = vertices[:, self.dp["vertex_map"]]
+        screen = self._screen_verts(dp_verts, cam_t, scale)
+        mask = rasterize_coverage(screen, self.dp["faces"], self.img_wh, chunk=self.chunk)
+        return mask.astype(jnp.float32)
+
+    def render_silhouette(self, vertices, cam_wp):
+        """Fast silhouette-only path (coverage mask, no IUV interpolation) for
+        eval IOU: weak-perspective cam (B, 3) = (scale, tx, ty) (reference
+        eval: cam_t from cam_wp with z=2.5, evaluate_humaniflow.py:120-122)."""
+        return self._silhouette_jit(vertices, cam_wp)
