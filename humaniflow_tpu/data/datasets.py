@@ -85,14 +85,14 @@ class OnTheFlySMPLTrainDataset:
             else:
                 tex = self.nongrey_textures[self.rng.integers(len(self.nongrey_textures))]
             textures[i] = tex / 255.0
-        backgrounds = np.empty((b, self.img_wh, self.img_wh, 3), np.float32)
-        for i in range(b):
-            path = self.backgrounds_paths[self.rng.integers(len(self.backgrounds_paths))]
-            bg = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-            backgrounds[i] = (
-                cv2.resize(bg, (self.img_wh, self.img_wh), interpolation=cv2.INTER_LINEAR)
-                / 255.0
-            )
+        # threaded native JPEG decode (native/dataloader.cc; cv2 fallback)
+        from .native_loader import decode_jpeg_batch
+
+        paths = [
+            self.backgrounds_paths[self.rng.integers(len(self.backgrounds_paths))]
+            for _ in range(b)
+        ]
+        backgrounds = decode_jpeg_batch(paths, self.img_wh)
         return {"pose": poses, "texture": textures, "background": backgrounds}
 
     def epoch_batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):
