@@ -12,6 +12,7 @@ from .transforms import (
     ConditionalAffineCoupling,
     ConditionalLinearPLU,
     ConditionalSplineCoupling,
+    LinearPLU,
     Permute,
     RadialTanh,
     ScaledRadialTanh,
@@ -31,6 +32,7 @@ __all__ = [
     "ConditionalAffineCoupling",
     "ConditionalLinearPLU",
     "ConditionalSplineCoupling",
+    "LinearPLU",
     "Permute",
     "RadialTanh",
     "ScaledRadialTanh",

@@ -27,6 +27,7 @@ from .transforms import (
     ConditionalAffineCoupling,
     ConditionalLinearPLU,
     ConditionalSplineCoupling,
+    LinearPLU,
     Permute,
     ScaledRadialTanh,
 )
@@ -124,6 +125,8 @@ def create_conditional_norm_flow(
             perm = tuple(idx[k:] + idx[:k])
             if permute_type == "permute":
                 transforms.append(Permute(perm))
+            elif permute_type == "linear_plu":
+                transforms.append(LinearPLU(input_dim=event_dim, permutation=perm))
             elif permute_type == "conditional_linear_plu":
                 transforms.append(
                     ConditionalLinearPLU(

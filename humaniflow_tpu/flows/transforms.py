@@ -271,6 +271,70 @@ class ConditionalLinearPLU:
 
 
 @dataclass(frozen=True)
+class LinearPLU:
+    """Unconditional invertible linear layer W = P·L·U with learnable packed
+    LU (reference: linearPLU_transform.py:87, adapted from pyro's
+    GeneralizedChannelPermute).  Initialised from the LU factorisation of a
+    random orthogonal matrix."""
+
+    input_dim: int
+    permutation: Tuple[int, ...] = ()
+
+    @property
+    def _perm_matrix(self):
+        import numpy as np
+
+        d = self.input_dim
+        perm = self.permutation if self.permutation else tuple(range(d))
+        return jnp.asarray(np.eye(d, dtype=np.float32)[np.asarray(perm)])
+
+    def init(self, key):
+        import numpy as np
+        import scipy.linalg
+
+        d = self.input_dim
+        w = np.linalg.qr(
+            np.asarray(jax.random.normal(key, (d, d)))
+        )[0].astype(np.float32)
+        # pack P⁻¹W = LU into one matrix (unit L diag implicit)
+        perm = self.permutation if self.permutation else tuple(range(d))
+        p = np.eye(d, dtype=np.float32)[np.asarray(perm)]
+        _, l_mat, u_mat = scipy.linalg.lu(p.T @ w)
+        lu = np.tril(l_mat, -1) + np.triu(u_mat)
+        return {"LU": jnp.asarray(lu)}
+
+    def _lu(self, params):
+        d = self.input_dim
+        lu = params["LU"]
+        eye = jnp.eye(d, dtype=lu.dtype)
+        u_diag = jnp.diagonal(lu)
+        l_mat = jnp.tril(lu, k=-1) + eye
+        u_mat = jnp.triu(lu, k=1) + u_diag * eye
+        return l_mat, u_mat, u_diag
+
+    def forward(self, params, x, context=None):
+        l_mat, u_mat, u_diag = self._lu(params)
+        hi = jax.lax.Precision.HIGHEST
+        w = jnp.einsum("ij,jk,kl->il", self._perm_matrix, l_mat, u_mat, precision=hi)
+        y = jnp.einsum("ij,...j->...i", w, x, precision=hi)
+        ld = jnp.sum(jnp.log(jnp.abs(u_diag)))
+        return y, jnp.broadcast_to(ld, x.shape[:-1])
+
+    def inverse(self, params, y, context=None):
+        l_mat, u_mat, u_diag = self._lu(params)
+        rhs = jnp.einsum(
+            "ji,...j->...i", self._perm_matrix, y, precision=jax.lax.Precision.HIGHEST
+        )
+        # single unbatched (D, D) solve against all rhs vectors at once
+        flat = rhs.reshape(-1, self.input_dim).T  # (D, N)
+        ux = jax.scipy.linalg.solve_triangular(l_mat, flat, lower=True)
+        x = jax.scipy.linalg.solve_triangular(u_mat, ux, lower=False)
+        x = x.T.reshape(y.shape)
+        ld = jnp.sum(jnp.log(jnp.abs(u_diag)))
+        return x, jnp.broadcast_to(ld, y.shape[:-1])
+
+
+@dataclass(frozen=True)
 class ScaledRadialTanh:
     """Radial compactification y = (x/‖x‖)·R·tanh(‖x‖/R); maps R³ onto the
     open ball of radius R (scaled_radial_tanh_transform.py:5).

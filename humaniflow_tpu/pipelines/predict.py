@@ -125,16 +125,18 @@ def make_predict_fn(
     return predict
 
 
-def save_pred_output(pred: Dict, fnames, save_dir: str):
-    """Per-image prediction npz dumps, incl. cached encoder features for the
-    optimise pipeline (reference: utils/predict_utils.py:4,
-    predict_humaniflow.py save step)."""
+def save_pred_output(pred: Dict, fnames, save_dir: str, extras: Optional[Dict] = None):
+    """Per-image prediction npz dumps, incl. cached encoder features and the
+    crop/keypoint context the optimise pipeline reloads
+    (reference: utils/predict_utils.py:4-24, load_optimise_data.py:7)."""
     os.makedirs(save_dir, exist_ok=True)
     keys = (
         "cam_wp", "glob_rotmat", "shape_mode", "shape_log_std",
         "pose_axisangle_point_est", "pose_rotmats_point_est", "input_feats",
     )
     np_pred = {k: np.asarray(pred[k]) for k in keys if k in pred}
+    if extras:
+        np_pred.update({k: np.asarray(v) for k, v in extras.items()})
     for i, fname in enumerate(fnames):
         out = {k: v[i] for k, v in np_pred.items()}
         np.savez(
@@ -154,11 +156,14 @@ def predict_humaniflow(
     key=None,
     save_dir: Optional[str] = None,
     fnames=None,
+    extras: Optional[Dict] = None,
 ) -> Dict:
     """Batched prediction over pre-cropped images.
 
     :param images: (B, wh, wh, 3) RGB in [0,1]; :param joints2d: (B, 17, 2)
         detected keypoints in crop coordinates (e.g. from HRNet).
+    :param extras: additional per-image arrays to store in the npz dumps
+        (bbox/keypoint context for the optimise pipeline).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -168,6 +173,16 @@ def predict_humaniflow(
     )
     predict = make_predict_fn(model, smpl, cfg, num_samples=num_samples)
     pred = predict(params, proxy, key)
+    pred["proxy_rep"] = proxy
     if save_dir is not None and fnames is not None:
-        save_pred_output(pred, fnames, save_dir)
+        all_extras = {
+            "cropped_image": np.asarray(images),
+            "cropped_joints2D": np.asarray(joints2d),
+            "proxy_rep": np.asarray(proxy),
+        }
+        if joints2d_conf is not None:
+            all_extras["hrnet_joints2D_conf"] = np.asarray(joints2d_conf)
+        if extras:
+            all_extras.update(extras)
+        save_pred_output(pred, fnames, save_dir, extras=all_extras)
     return pred

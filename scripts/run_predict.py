@@ -80,6 +80,7 @@ def main():
         f for f in os.listdir(args.image_dir) if f.endswith((".png", ".jpg", ".jpeg"))
     )
     images, joints2d, confs = [], [], []
+    bbox_centres, bbox_heights, bbox_widths, hrnet_j2d = [], [], [], []
     wh = cfg.DATA.PROXY_REP_SIZE
     for fname in fnames:
         img = cv2.cvtColor(
@@ -105,11 +106,21 @@ def main():
         images.append(np.asarray(crop["rgb"][0]))
         joints2d.append(np.asarray(crop["joints2d"][0]))
         confs.append(np.asarray(hr["joints2Dconfs"]))
+        bbox_centres.append(np.asarray(hr["bbox_centre"]))
+        bbox_heights.append(hr["bbox_height"])
+        bbox_widths.append(hr["bbox_width"])
+        hrnet_j2d.append(np.asarray(hr["joints2D"]))
 
     pred = predict_humaniflow(
         model, params, smpl, cfg,
         np.stack(images), np.stack(joints2d), np.stack(confs),
         num_samples=args.num_samples, save_dir=args.save_dir, fnames=fnames,
+        extras={
+            "bbox_centre": np.stack(bbox_centres),
+            "bbox_height": np.asarray(bbox_heights),
+            "bbox_width": np.asarray(bbox_widths),
+            "hrnet_joints2D": np.stack(hrnet_j2d),
+        },
     )
     print(f"Saved predictions for {len(fnames)} images to {args.save_dir}")
 
