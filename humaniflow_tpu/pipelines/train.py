@@ -206,7 +206,11 @@ def train_humaniflow(
     key=None,
     mesh=None,
 ):
-    """Epoch loop (reference: train_humaniflow.py:94-407)."""
+    """Epoch loop (reference: train_humaniflow.py:94-407).
+
+    NOTE: the train step donates its (params, opt_state) buffers — the
+    arrays passed in are consumed; use the returned pytrees.
+    """
     os.makedirs(experiment_dir, exist_ok=True)
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -228,7 +232,8 @@ def train_humaniflow(
 
     synth_batch = make_synth_data_fn(cfg, smpl, renderer)
     step_fn = make_train_step(
-        model, smpl, cfg.LOSS, optimizer, img_wh=cfg.DATA.PROXY_REP_SIZE
+        model, smpl, cfg.LOSS, optimizer, img_wh=cfg.DATA.PROXY_REP_SIZE,
+        emit_metric_tensors=bool(metrics_to_track),
     )
     train_step = jax.jit(step_fn, donate_argnums=(0, 1))
     # validation: same fused program without buffer donation; the returned
@@ -274,8 +279,28 @@ def train_humaniflow(
                     params, opt_state, metrics = train_step(params, opt_state, batch, k2)
                 else:
                     _, _, metrics = val_step(params, opt_state, batch, k2)
-                tracker.loss_metric_sums[f"{split}_losses"] += float(metrics["total"]) * bsz
-                tracker.loss_metric_sums[f"{split}_num_samples"] += bsz
+                mt = metrics.pop("metric_tensors", None)
+                if mt is not None and metrics_to_track:
+                    tracker.update_per_batch(
+                        split, float(metrics["total"]),
+                        {
+                            "verts3D": mt["pred_verts3D"],
+                            "joints3D": mt["pred_joints3D"],
+                            "joints2D": mt["pred_joints2D"],
+                        },
+                        {
+                            "verts3D": mt["target_verts3D"],
+                            "joints3D": mt["target_joints3D"],
+                            "joints2D": batch["joints2D"],
+                            "joints2D_vis": batch["joints2D_vis"],
+                        },
+                        bsz,
+                    )
+                else:
+                    tracker.loss_metric_sums[f"{split}_losses"] += (
+                        float(metrics["total"]) * bsz
+                    )
+                    tracker.loss_metric_sums[f"{split}_num_samples"] += bsz
                 step_count += 1
                 if steps_per_epoch is not None and step_count >= steps_per_epoch:
                     break

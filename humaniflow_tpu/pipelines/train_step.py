@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..configs.defaults import LossConfig
@@ -61,17 +62,43 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     img_wh: int = 256,
     num_j2d_samples: Optional[int] = None,
+    emit_metric_tensors: bool = False,
 ):
     """Build the jittable train step closure.
 
     batch keys: proxy (B,H,W,18), pose_rotmats (B,23,3,3), glob_rotmats
     (B,3,3), shape (B,nb), joints2D (B,17,2) px, joints2D_vis (B,17).
+
+    With emit_metric_tensors, the metrics dict additionally carries the
+    point-estimate/target tensors the training tracker consumes
+    (pred/target verts3D, joints3D, joints2D — reference train loop
+    :281-366) — still one fused program, no extra forward.
     """
     n_samples = (
         loss_cfg.NUM_J2D_SAMPLES if num_j2d_samples is None else num_j2d_samples
     )
     use_point_est = "point_est" in loss_cfg.J2D_LOSS_ON
     use_samples = "samples" in loss_cfg.J2D_LOSS_ON
+    h36m_j14 = None
+    if emit_metric_tensors:
+        from ..data.label_conversions import ALL_JOINTS_TO_H36M_MAP, H36M_TO_J14
+
+        h36m_j14 = jnp.asarray(np.asarray(ALL_JOINTS_TO_H36M_MAP)[np.asarray(H36M_TO_J14)])
+
+    def _metric_tensors(out, batch):
+        pe = smpl_forward(
+            smpl, out["shape_mode"], out["pose_rotmats_point_est"],
+            out["glob_rotmat"],
+        )
+        tgt = smpl_forward(
+            smpl, batch["shape"], batch["pose_rotmats"], batch["glob_rotmats"]
+        )
+        return {
+            "pred_verts3D": pe["vertices"],
+            "target_verts3D": tgt["vertices"],
+            "pred_joints3D": pe["joints"][:, h36m_j14],
+            "target_joints3D": tgt["joints"][:, h36m_j14],
+        }
 
     def loss_fn(params, batch, key):
         out = model.apply(
@@ -118,6 +145,10 @@ def make_train_step(
             "glob_rotmats": batch["glob_rotmats"],
         }
         total, breakdown = humaniflow_loss(loss_cfg, img_wh, pred, target)
+        if emit_metric_tensors:
+            mt = jax.lax.stop_gradient(_metric_tensors(out, batch))
+            mt["pred_joints2D"] = jax.lax.stop_gradient(pred["joints2D"][:, 0])
+            breakdown = {**breakdown, "metric_tensors": mt}
         return total, (breakdown, out.get("encoder_batch_stats"))
 
     def train_step(params, opt_state, batch, key):

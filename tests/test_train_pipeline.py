@@ -63,6 +63,57 @@ def test_synth_data_generation(setup):
     assert 0.0 <= float(batch["rgb_in"].min()) and float(batch["rgb_in"].max()) <= 1.0
 
 
+class _FakeDataset:
+    """Minimal epoch_batches provider (poses/textures/backgrounds)."""
+
+    def __init__(self, n=4, img=IMG, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.n = n
+        self.img = img
+
+    def __len__(self):
+        return self.n
+
+    def epoch_batches(self, batch_size, shuffle=True, drop_last=True):
+        for _ in range(self.n // batch_size):
+            yield {
+                "pose": self.rng.normal(scale=0.3, size=(batch_size, 72)).astype(np.float32),
+                "texture": self.rng.uniform(size=(batch_size, 1200, 800, 3)).astype(np.float32),
+                "background": self.rng.uniform(size=(batch_size, self.img, self.img, 3)).astype(np.float32),
+            }
+
+
+@needs_uv
+def test_full_train_loop_with_tracker_and_checkpoint(setup, tmp_path):
+    """Two epochs of the full loop: synth gen → step → tracker → checkpoint
+    → resume bookkeeping (reference train_humaniflow.py:94-407)."""
+    from humaniflow_tpu.pipelines.train import train_humaniflow
+    from humaniflow_tpu.utils.checkpoints import load_checkpoint
+
+    cfg, smpl, renderer, model, params = setup
+    cfg.TRAIN.EPOCHS_PER_SAVE = 1
+    exp_dir = str(tmp_path / "exp")
+    # the train loop DONATES its (params, opt_state) buffers; hand it a copy
+    # so the module-scoped fixture stays alive for other tests
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    before = np.asarray(params["fc1"]["kernel"]).copy()
+    out_params, best_params = train_humaniflow(
+        model, smpl, cfg, renderer,
+        _FakeDataset(n=2), _FakeDataset(n=2, seed=1),
+        exp_dir, params=params_copy,
+        metrics_to_track=("PVE", "joints2D-L2E"),
+        save_val_metrics=("PVE",),
+        num_epochs=2, steps_per_epoch=1,
+    )
+    assert os.path.exists(os.path.join(exp_dir, "log.pkl"))
+    ckpt = load_checkpoint(os.path.join(exp_dir, "epoch_000001"))
+    assert int(ckpt["epoch"]) == 1
+    assert "params" in ckpt and "best_params" in ckpt
+    # params actually updated over the run
+    diff = float(np.abs(np.asarray(out_params["fc1"]["kernel"]) - before).max())
+    assert diff > 0
+
+
 @needs_uv
 def test_train_step_on_synth_batch(setup):
     cfg, smpl, renderer, model, params = setup
