@@ -1,0 +1,82 @@
+"""Evaluate-pipeline test: full loop over a fake gendered dataset, checking
+the reference metric protocol end-to-end (proxy build → N-sample forward →
+gendered targets → metrics → per-frame dumps)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
+from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
+from humaniflow_tpu.pipelines.evaluate import evaluate_humaniflow
+
+IMG = 32
+
+
+class _FakeEvalDataset:
+    def __init__(self, n=4, img=IMG, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.n = n
+        self.img = img
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "image": rng.uniform(size=(self.img, self.img, 3)).astype(np.float32),
+            "heatmaps": rng.uniform(size=(17, self.img, self.img)).astype(np.float32),
+            "pose": rng.normal(scale=0.3, size=72).astype(np.float32),
+            "shape": rng.normal(scale=0.5, size=10).astype(np.float32),
+            "joints2D": rng.uniform(0, self.img, size=(17, 2)).astype(np.float32),
+            "joints2D_visib": np.ones(17, bool),
+            "fname": f"frame_{i:04d}.png",
+            "gender": "f" if i % 2 else "m",
+        }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    smpl_n = synthetic_smpl(num_verts=64, seed=0)
+    smpl_m = synthetic_smpl(num_verts=64, seed=1)
+    smpl_f = synthetic_smpl(num_verts=64, seed=2)
+    return cfg, model, params, smpl_n, smpl_m, smpl_f
+
+
+def test_evaluate_full_metric_set(setup, tmp_path):
+    cfg, model, params, smpl_n, smpl_m, smpl_f = setup
+    metrics = [
+        "PVE", "PVE-SC", "PVE-PA", "PVE-T-SC", "MPJPE", "MPJPE-SC", "MPJPE-PA",
+        "PVE_samples_min", "MPJPE_samples_min",
+        "joints2D-L2E", "joints2Dsamples-L2E",
+        "verts3D_sample_diversity", "joints3D_sample_diversity",
+        "joints3D_invis_sample_diversity", "joints3D_vis_sample_diversity",
+    ]
+    final = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg,
+        _FakeEvalDataset(n=4), metrics,
+        batch_size=2, num_pred_samples=3,
+        save_path=str(tmp_path), save_per_frame_metrics=True,
+    )
+    for m in metrics:
+        assert m in final, m
+        assert np.isfinite(final[m]), m
+    # gendered targets differ → PVE > 0
+    assert final["PVE"] > 0
+    # min-over-samples can't beat... can't exceed the average-sample error;
+    # sanity: it is positive and finite
+    assert final["PVE_samples_min"] > 0
+    # per-frame dumps written
+    assert os.path.exists(os.path.join(tmp_path, "fname_per_frame.npy"))
+    assert os.path.exists(os.path.join(tmp_path, "PVE_per_frame.npy"))
+    pf = np.load(os.path.join(tmp_path, "PVE_per_frame.npy"))
+    assert pf.shape == (4,)
+    poses = np.load(os.path.join(tmp_path, "pose_per_frame.npy"))
+    assert poses.shape == (4, 23, 3, 3)
