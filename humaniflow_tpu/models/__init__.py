@@ -1,3 +1,5 @@
+from .canny import CannyEdgeDetector
+from .hrnet import PoseHighResolutionNet, get_kp_locations_confs_from_heatmaps
 from .humaniflow import HumaniflowModel, immediate_parent_to_all_ancestors
 from .resnet import RESNET_FEAT_DIMS, ResNet, resnet18, resnet50
 from .smpl import (
@@ -12,6 +14,9 @@ from .smpl import (
 )
 
 __all__ = [
+    "CannyEdgeDetector",
+    "PoseHighResolutionNet",
+    "get_kp_locations_confs_from_heatmaps",
     "HumaniflowModel",
     "immediate_parent_to_all_ancestors",
     "RESNET_FEAT_DIMS",

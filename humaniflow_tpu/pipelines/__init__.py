@@ -1,5 +1,7 @@
 from .evaluate import evaluate_humaniflow, make_eval_step
 from .optimise import optimise_batch_with_humaniflow_prior
+from .predict_hrnet import detect_person_bbox_torchvision, predict_hrnet
+from .train import make_synth_data_fn, train_humaniflow
 from .predict import (
     build_proxy_representation,
     make_predict_fn,
@@ -11,6 +13,10 @@ from .train_step import make_train_step, predict_joints2d
 __all__ = [
     "evaluate_humaniflow",
     "make_eval_step",
+    "detect_person_bbox_torchvision",
+    "predict_hrnet",
+    "make_synth_data_fn",
+    "train_humaniflow",
     "optimise_batch_with_humaniflow_prior",
     "build_proxy_representation",
     "make_predict_fn",

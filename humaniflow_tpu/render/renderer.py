@@ -132,10 +132,17 @@ class TexturedIUVRenderer:
                 self.dp["faces"],
                 self.dp["face_part"],
             )
-        from .pallas_rasterizer import rasterize_pallas
+        from .pallas_rasterizer import BLOCK_COLS, BLOCK_ROWS, rasterize_pallas
 
-        cy = jnp.mean(screen_verts[0, self.dp["faces"], 1], axis=-1)
-        order = jnp.argsort(cy)
+        # sort faces by (row-block, col-block) tile bucket: chunks become
+        # tile-local so the kernel's bbox culling skips ~97% of (tile, chunk)
+        # pairs (row-only sorting leaves chunks spanning the full width)
+        c = jnp.mean(screen_verts[0, self.dp["faces"]], axis=1)
+        key = (
+            (c[:, 1] // BLOCK_ROWS).astype(jnp.int32) * 64
+            + (c[:, 0] // BLOCK_COLS).astype(jnp.int32)
+        )
+        order = jnp.argsort(key)
         faces_sorted = self.dp["faces"][order]
         part_sorted = self.dp["face_part"][order]
         frags = rasterize_pallas(screen_verts, faces_sorted, self.img_wh)
