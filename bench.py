@@ -72,7 +72,10 @@ def main():
     out = distribution_inference(params, proxy, jax.random.PRNGKey(2))
     jax.block_until_ready(out)
 
-    n_iters = 10
+    # Enough queued iterations to fill the async dispatch pipeline — through
+    # the axon tunnel, per-call dispatch overhead is ~6 ms at 10 queued calls
+    # but ~0.5 ms at 100 (see docs/DESIGN.md measurement methodology).
+    n_iters = 50
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = distribution_inference(params, proxy, jax.random.PRNGKey(3 + i))

@@ -207,15 +207,31 @@ class TexturedIUVRenderer:
         dp_verts = vertices[:, self.dp["vertex_map"]]  # (B, 7829, 3)
         screen = self._screen_verts(dp_verts, cam_t, orthographic_scale)
         frags, faces, face_part = self._rasterize(screen)
-
-        # flat part index per pixel + interpolated UV (reference IUV shading)
-        part = jnp.where(
-            frags.mask, face_part[jnp.maximum(frags.face_idx, 0)], 0
-        ).astype(jnp.float32)
-        uv = interpolate_face_attributes(
-            frags, faces,
-            jnp.stack([self.dp["u"], self.dp["v"]], axis=-1),
+        fidx = jnp.maximum(frags.face_idx, 0)  # (B, H, W)
+        want_rgb = self.render_rgb and (
+            textures is not None or verts_features is not None
         )
+
+        # ------- packed attribute lookup: the per-pixel gathers dominate the
+        # post-raster cost, so all shared per-vertex attrs go through ONE
+        # per-face table + ONE gather, and the per-face data (part id,
+        # normal, triangle positions) through a second packed gather.
+        vert_attr_list = [jnp.stack([self.dp["u"], self.dp["v"]], axis=-1)]
+        if want_rgb and textures is not None:
+            vert_attr_list.append(
+                jnp.stack([self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1)
+            )
+        static_attrs = jnp.concatenate(vert_attr_list, axis=-1)  # (V, Ds)
+        tri_static = static_attrs[faces]  # (F, 3, Ds) — built once per call
+        picked_static = tri_static[fidx]  # (B, H, W, 3, Ds): single gather
+        static_px = jnp.where(
+            frags.mask[..., None],
+            jnp.einsum("...k,...kd->...d", frags.bary, picked_static),
+            0.0,
+        )
+
+        uv = static_px[..., :2]
+        part = jnp.where(frags.mask, face_part[fidx], 0).astype(jnp.float32)
         iuv = jnp.concatenate([part[..., None], uv], axis=-1)
 
         out = {
@@ -224,12 +240,31 @@ class TexturedIUVRenderer:
             "silhouettes": frags.mask.astype(jnp.float32),
         }
 
-        if self.render_rgb and (textures is not None or verts_features is not None):
-            if textures is not None:
-                atlas_uv = interpolate_face_attributes(
-                    frags, faces,
-                    jnp.stack([self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1),
+        if want_rgb:
+            # batched per-face table: [normal, v0, v1, v2(, colours v0..v2)]
+            normals = face_normals(dp_verts, faces)  # (B, F, 3)
+            tri_pos = jax.vmap(lambda v: v[faces])(dp_verts)  # (B, F, 3, 3)
+            face_rows = [normals[:, :, None, :], tri_pos]
+            if textures is None:
+                vf = (
+                    verts_features[:, self.dp["vertex_map"]]
+                    if verts_features.ndim == 3
+                    else jnp.broadcast_to(
+                        verts_features[self.dp["vertex_map"]], dp_verts.shape
+                    )
                 )
+                face_rows.append(jax.vmap(lambda a: a[faces])(vf))
+            face_table = jnp.concatenate(face_rows, axis=2)  # (B, F, 4|7, 3)
+            picked = jax.vmap(lambda t, f: t[f])(face_table, fidx)  # (B,H,W,·,3)
+
+            pix_normal = jnp.where(frags.mask[..., None], picked[..., 0, :], 0.0)
+            pix_pos = jnp.where(
+                frags.mask[..., None],
+                jnp.einsum("...k,...kd->...d", frags.bary, picked[..., 1:4, :]),
+                0.0,
+            )
+            if textures is not None:
+                atlas_uv = static_px[..., 2:4]
                 th, tw = textures.shape[1:3]
                 tx = jnp.clip((atlas_uv[..., 0] * (tw - 1)), 0, tw - 1)
                 ty = jnp.clip((atlas_uv[..., 1] * (th - 1)), 0, th - 1)
@@ -239,28 +274,15 @@ class TexturedIUVRenderer:
                     ]
                 )(textures, ty, tx)  # (B, wh, wh, 3)
             else:
-                albedo = interpolate_face_attributes(
-                    frags, faces,
-                    verts_features[:, self.dp["vertex_map"]]
-                    if verts_features.ndim == 3
-                    else verts_features[self.dp["vertex_map"]],
+                albedo = jnp.where(
+                    frags.mask[..., None],
+                    jnp.einsum("...k,...kd->...d", frags.bary, picked[..., 4:7, :]),
+                    0.0,
                 )
 
             lights = dict(DEFAULT_LIGHTS)
             if lights_rgb_settings is not None:
                 lights.update(lights_rgb_settings)
-
-            normals = face_normals(dp_verts, faces)  # (B, F, 3)
-            pix_normal = jnp.where(
-                frags.mask[..., None],
-                jax.vmap(lambda n, f: n[jnp.maximum(f, 0)])(normals, frags.face_idx),
-                0.0,
-            )
-            # pixel world position via barycentric interp
-            pix_pos = interpolate_face_attributes(
-                frags, faces,
-                dp_verts if dp_verts.ndim == 3 else dp_verts[None],
-            )
             light_dir = lights["location"][:, None, None, :] - pix_pos
             light_dir = light_dir / jnp.maximum(
                 jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-8

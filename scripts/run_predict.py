@@ -125,9 +125,17 @@ def main():
     print(f"Saved predictions for {len(fnames)} images to {args.save_dir}")
 
     if args.visualise:
+        import math
+
+        import jax.numpy as jnp
+
+        from humaniflow_tpu.ops.rotation import aa_rotate_translate_points
         from humaniflow_tpu.render import TexturedIUVRenderer
+        from humaniflow_tpu.utils.sampling import joints2d_error_sorted_verts_sampling
         from humaniflow_tpu.utils.visualise import (
+            plot_xyz_vertex_variance,
             render_point_est_visualisation,
+            render_samples_visualisation,
             uncertainty_colourmap,
         )
 
@@ -135,24 +143,50 @@ def main():
         colours = np.stack(
             [uncertainty_colourmap(np.asarray(v)) for v in pred["vertex_uncertainty_l2"]]
         )
-        from humaniflow_tpu.ops.rotation import aa_rotate_translate_points
-        import jax.numpy as jnp
-        import math
-
+        x_axis = jnp.asarray([1.0, 0.0, 0.0])
         verts_flipped = aa_rotate_translate_points(
-            pred["verts_point_est"], jnp.asarray([1.0, 0.0, 0.0]), math.pi,
-            jnp.zeros(3),
+            pred["verts_point_est"], x_axis, math.pi, jnp.zeros(3)
+        )
+        tpose_flipped = aa_rotate_translate_points(
+            pred["tpose_verts"], x_axis, math.pi, jnp.zeros(3)
         )
         figs = render_point_est_visualisation(
             renderer, verts_flipped, pred["cam_wp"],
-            input_image=np.stack(images), vertex_colours=jnp.asarray(colours),
+            input_image=np.stack(images),
+            tpose_vertices=tpose_flipped,
+            vertex_colours=jnp.asarray(colours),
         )
+        proxy = np.asarray(pred["proxy_rep"])
         for i, fname in enumerate(fnames):
+            stem = os.path.splitext(fname)[0]
             out = (figs["figure"][i][:, :, ::-1] * 255).astype(np.uint8)
-            cv2.imwrite(
-                os.path.join(args.save_dir, os.path.splitext(fname)[0] + "_vis.png"), out
+            cv2.imwrite(os.path.join(args.save_dir, stem + "_vis.png"), out)
+
+            # J2D-error-sorted sample grid (reference -VS flag)
+            heatmaps = np.moveaxis(proxy[i, :, :, 1:], -1, 0)[None]  # (1,17,wh,wh)
+            sorted_verts = joints2d_error_sorted_verts_sampling(
+                jnp.asarray(pred["verts_samples"][i]),
+                jnp.asarray(pred["joints_samples"][i]),
+                jnp.asarray(heatmaps),
+                jnp.asarray(pred["cam_wp"][i : i + 1]),
             )
-        print("Saved visualisations.")
+            sorted_flipped = aa_rotate_translate_points(
+                sorted_verts, x_axis, math.pi, jnp.zeros(3)
+            )
+            grid = render_samples_visualisation(
+                renderer, sorted_flipped, np.asarray(pred["cam_wp"][i : i + 1])
+            )
+            cv2.imwrite(
+                os.path.join(args.save_dir, stem + "_samples.png"),
+                (grid[:, :, ::-1] * 255).astype(np.uint8),
+            )
+            # per-vertex directional-variance scatter (reference -VXYZ flag)
+            plot_xyz_vertex_variance(
+                np.asarray(verts_flipped[i]),
+                np.asarray(pred["vertex_uncertainty_directional"][i]),
+                save_path=os.path.join(args.save_dir, stem + "_xyz_variance.png"),
+            )
+        print("Saved visualisations (point-est, sample grids, xyz variance).")
 
 
 if __name__ == "__main__":
