@@ -185,8 +185,14 @@ def evaluate_humaniflow(
     save_per_frame_metrics: bool = False,
     renderer=None,
     key=None,
+    mesh=None,
 ):
-    """Full eval loop (reference: evaluate_humaniflow.py:18-286)."""
+    """Full eval loop (reference: evaluate_humaniflow.py:18-286).
+
+    :param mesh: optional jax.sharding.Mesh — batches are padded to the
+        device count and sharded over the `data` axis (the reference has no
+        multi-device evaluation; SURVEY.md §2.7).
+    """
     from ..data.datasets import batch_iterator
 
     compute_samples = any("sample" in m for m in metrics)
@@ -221,8 +227,18 @@ def evaluate_humaniflow(
             for k, v in batch.items()
             if k in ("image", "heatmaps", "pose", "shape", "is_female")
         }
+        if mesh is not None:
+            from ..parallel.mesh import pad_batch_to_devices, shard_batch
+
+            n_dev = mesh.devices.size
+            dev_batch, _ = pad_batch_to_devices(dev_batch, n_dev)
+            dev_batch = shard_batch(dev_batch, mesh)
         key, sub = jax.random.split(key)
         pred, target, proxy, extra = eval_step(params, dev_batch, sub)
+        if mesh is not None:
+            # drop padded rows before metric accumulation
+            trim = lambda t: jax.tree_util.tree_map(lambda a: a[:b], t)
+            pred, target, proxy, extra = trim(pred), trim(target), trim(proxy), trim(extra)
 
         if compute_joints2d and j2d_target is not None:
             target["joints2D"] = jnp.asarray(j2d_target)

@@ -80,3 +80,25 @@ def test_evaluate_full_metric_set(setup, tmp_path):
     assert pf.shape == (4,)
     poses = np.load(os.path.join(tmp_path, "pose_per_frame.npy"))
     assert poses.shape == (4, 23, 3, 3)
+
+
+def test_evaluate_data_parallel_matches_single(setup):
+    """Sharded eval over the 8-device mesh (with batch padding) produces the
+    same final metrics as the single-device run."""
+    from humaniflow_tpu.parallel import make_mesh, replicate
+
+    cfg, model, params, smpl_n, smpl_m, smpl_f = setup
+    metrics = ["PVE", "MPJPE", "joints2D-L2E"]
+    kwargs = dict(batch_size=3, num_pred_samples=2)  # 3 → pads to 8
+
+    single = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg, _FakeEvalDataset(n=3),
+        metrics, **kwargs,
+    )
+    mesh = make_mesh(8)
+    sharded = evaluate_humaniflow(
+        model, replicate(params, mesh), smpl_n, smpl_m, smpl_f, cfg,
+        _FakeEvalDataset(n=3), metrics, mesh=mesh, **kwargs,
+    )
+    for m in metrics:
+        np.testing.assert_allclose(single[m], sharded[m], rtol=1e-4)
