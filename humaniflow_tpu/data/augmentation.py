@@ -9,7 +9,6 @@ occlude" becomes a broadcasted mask select, so the whole augmentation stage
 fuses into the jitted synthetic-data pipeline.
 """
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

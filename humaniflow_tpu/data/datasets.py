@@ -9,7 +9,7 @@ and augmentation run on-device (data/image_ops.py, data/augmentation.py).
 """
 
 import os
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 

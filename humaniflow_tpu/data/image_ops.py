@@ -13,7 +13,7 @@ Capability parity with reference `utils/image_utils.py`
   (static shapes, jit-able) instead of np.argwhere.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,13 +14,13 @@ construction — for event_dim=3 that is an unrolled 3-step loop; the inverse
 log-prob).
 """
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .dense_nn import apply_dense_nn, init_dense_nn
+from .dense_nn import init_dense_nn
 from .spline import monotonic_rational_spline
 
 

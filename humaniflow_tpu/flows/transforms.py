@@ -15,8 +15,8 @@ conditional coupling per block, then radial-tanh compactification.
 """
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

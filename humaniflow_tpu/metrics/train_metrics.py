@@ -15,7 +15,6 @@ round trips.
 import pickle
 from typing import Dict, List, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from .eval_metrics import compute_batch_metrics

@@ -13,7 +13,7 @@ mechanical name map.
 """
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ normalizing flows on SO(3) — redesigned for XLA:
   `pose_log_prob` (flows/so3_flow.py) — no caching, no clear_cache.
 """
 
-from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ from ..flows.so3_flow import SO3FlowDistribution
 from ..ops.rotation import rot6d_to_rotmat, rotmat_to_rot6d
 from ..ops.so3 import so3_exp
 from .resnet import RESNET_FEAT_DIMS, resnet18, resnet50
-from .smpl import NUM_BODYPARTS, SMPL_PARENTS
+from .smpl import SMPL_PARENTS
 
 INIT_CAM = (0.9, 0.0, 0.0)  # orthographic scale init (reference :55)
 

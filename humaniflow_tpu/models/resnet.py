@@ -11,7 +11,7 @@ is a mechanical name map (utils/convert_torch.py).
 """
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,7 +16,6 @@ so3_xset:282, so3_log_abs_det_jacobian:298), re-derived for TPU:
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ are written against arbitrary mesh shapes so larger meshes (e.g. pods,
 data×model) compose later.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ runs on device (metrics/eval_metrics.py).
 import math
 import os
 from functools import partial
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ jitted batched program; only file IO and figure composition stay on host.
 """
 
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax

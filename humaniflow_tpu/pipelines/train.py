@@ -17,7 +17,6 @@ Capability parity with reference `train/train_humaniflow.py:27-407` +
 
 import math
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax

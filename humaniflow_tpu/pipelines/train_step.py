@@ -14,8 +14,7 @@ Capability parity with the reference train loop's per-batch work
   the gradient all-reduce from the sharding annotations.
 """
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ performs, expressed in Pallas:
 """
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

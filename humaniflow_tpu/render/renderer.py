@@ -19,8 +19,7 @@ x-axis-π rotation exactly as the reference does before rendering.
 """
 
 import os
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax

@@ -9,7 +9,7 @@ block-until-ready-times jitted stages and keeps running statistics.
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from ..data.image_ops import batch_uncrop_affine
 from ..ops.rotation import aa_rotate_translate_points
-from ..ops.so3 import so3_exp
 
 
 def uncertainty_colourmap(values: np.ndarray, vmin=0.0, vmax=0.2) -> np.ndarray:
