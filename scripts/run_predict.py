@@ -186,7 +186,26 @@ def main():
                 np.asarray(pred["vertex_uncertainty_directional"][i]),
                 save_path=os.path.join(args.save_dir, stem + "_xyz_variance.png"),
             )
-        print("Saved visualisations (point-est, sample grids, xyz variance).")
+
+            # composite the mesh render back onto the original image
+            # (reference: uncrop_point_est_visualisation)
+            from humaniflow_tpu.utils.visualise import uncrop_point_est_visualisation
+
+            orig = cv2.cvtColor(
+                cv2.imread(os.path.join(args.image_dir, fname)), cv2.COLOR_BGR2RGB
+            ).astype(np.float32) / 255.0
+            render0 = figs["renders"]["0"][i : i + 1]
+            sil0 = (render0.sum(-1) > 0).astype(np.float32)
+            wh_box = max(bbox_heights[i], bbox_widths[i])
+            uncropped = uncrop_point_est_visualisation(
+                render0, sil0, bbox_centres[i][None], np.asarray([wh_box]),
+                orig[None], bbox_scale_factor=cfg.DATA.BBOX_SCALE_FACTOR,
+            )
+            cv2.imwrite(
+                os.path.join(args.save_dir, stem + "_uncrop.png"),
+                (uncropped[0][:, :, ::-1] * 255).astype(np.uint8),
+            )
+        print("Saved visualisations (point-est, samples, xyz variance, uncrop).")
 
 
 if __name__ == "__main__":
