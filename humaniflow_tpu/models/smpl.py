@@ -237,43 +237,68 @@ def smpl_forward(
     """
     hi = jax.lax.Precision.HIGHEST
     b = betas.shape[0]
+    v = model.num_verts
     if pose2rot:
         body_pose = so3_exp(body_pose.reshape(b, 23, 3))
         global_orient = so3_exp(global_orient.reshape(b, 3))
     rot_mats = jnp.concatenate([global_orient[:, None], body_pose], axis=1)  # (B,24,3,3)
 
+    # ----- channel-major internals: all big vertex tensors travel as
+    # (B, 3, V) so the fused LBS kernel consumes them with NO transposes of
+    # batch-sized data (model arrays are tiny; transposing them per trace is
+    # free and constant-folded under jit).
+    shapedirs_cm = jnp.transpose(model.shapedirs, (1, 0, 2))      # (3, V, nb)
+    v_template_cm = model.v_template.T                            # (3, V)
+    posedirs_cm = (
+        model.posedirs.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
+    )  # (207, 3V) channel-major columns
+
     # Shape blendshapes
-    v_shaped = model.v_template + jnp.einsum(
-        "bl,vkl->bvk", betas, model.shapedirs, precision=hi
+    v_shaped_cm = v_template_cm + jnp.einsum(
+        "bl,cvl->bcv", betas, shapedirs_cm, precision=hi
+    )  # (B, 3, V)
+    joints_rest = jnp.einsum(
+        "jv,bcv->bjc", model.j_regressor, v_shaped_cm, precision=hi
     )
-    joints_rest = jnp.einsum("jv,bvk->bjk", model.j_regressor, v_shaped, precision=hi)
 
     # Pose-corrective blendshapes from non-root rotations
     eye = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - eye).reshape(b, -1)  # (B, 207)
-    pose_offsets = jnp.matmul(pose_feature, model.posedirs, precision=hi).reshape(
-        b, -1, 3
+    pose_offsets_cm = jnp.matmul(pose_feature, posedirs_cm, precision=hi).reshape(
+        b, 3, v
     )
-    v_posed = v_shaped + pose_offsets
+    v_posed_cm = v_shaped_cm + pose_offsets_cm
 
-    # Kinematic chain + LBS.  The per-joint transforms are packed as
-    # (B, 24, 12) rows [R | t] and contracted with the skinning weights into
-    # a single (B, V, 12) matmul — no (B, V, 4, 4) materialisation (at
-    # B·N=3200 that intermediate alone is 1.4 GB of HBM traffic).
+    # Kinematic chain + LBS.  Per-joint transforms packed as (B, 24, 12)
+    # rows [R | t]; skinning runs through the fused Pallas kernel on TPU
+    # (no (B, V, 12)/(B, V, 4, 4) materialisation — streaming-minimum HBM
+    # traffic) with an equivalent XLA contraction elsewhere.
     posed_joints, world_R, rel_t = _rigid_transform_chain(rot_mats, joints_rest)
     a12 = jnp.concatenate(
         [world_R.reshape(b, NUM_SMPL_JOINTS, 9), rel_t], axis=-1
     )  # (B, 24, 12)
-    t12 = jnp.einsum("vj,bjc->bvc", model.lbs_weights, a12, precision=hi)
-    rot = t12[..., :9].reshape(b, -1, 3, 3)
-    verts = (
-        jnp.einsum("bvik,bvk->bvi", rot, v_posed, precision=hi) + t12[..., 9:]
-    )
+    if jax.default_backend() != "cpu":
+        from .pallas_lbs import lbs_skin_pallas_cm
+
+        verts_cm = lbs_skin_pallas_cm(model.lbs_weights, a12, v_posed_cm)
+    else:
+        t12 = jnp.einsum("vj,bjc->bcv", model.lbs_weights, a12, precision=hi)
+        # t12 channels: rows of [R|t] — apply 3x3 + t per channel
+        verts_cm = jnp.stack(
+            [
+                t12[:, 3 * i + 0] * v_posed_cm[:, 0]
+                + t12[:, 3 * i + 1] * v_posed_cm[:, 1]
+                + t12[:, 3 * i + 2] * v_posed_cm[:, 2]
+                + t12[:, 9 + i]
+                for i in range(3)
+            ],
+            axis=1,
+        )
 
     # Joint set: 24 kinematic + 21 vertex landmarks + regressed stacks, all
     # landmark/regressor rows fused into ONE (J, V) matmul over the vertices.
     reg_rows = [
-        jnp.zeros((21, model.num_verts), jnp.float32)
+        jnp.zeros((21, v), jnp.float32)
         .at[jnp.arange(21), model.extra_joint_vertex_ids]
         .set(1.0)
     ]
@@ -285,9 +310,9 @@ def smpl_forward(
         if reg is not None:
             reg_rows.append(reg)
     combined = jnp.concatenate(reg_rows, axis=0)  # (21+9+19+17, V)
-    regressed = jnp.einsum("jv,bvk->bjk", combined, verts, precision=hi)
+    regressed = jnp.einsum("jv,bcv->bjc", combined, verts_cm, precision=hi)
     return {
-        "vertices": verts,
+        "vertices": jnp.swapaxes(verts_cm, 1, 2),  # (B, V, 3) for consumers
         "joints": jnp.concatenate([posed_joints, regressed], axis=1),
         "smpl_joints": posed_joints,
     }
