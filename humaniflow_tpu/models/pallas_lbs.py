@@ -14,7 +14,6 @@ vertex axis sits on lanes (V tiles of 512, %128); transform rows travel
 pre-transposed as (B, 12, 24); all kernel ops are 2-D.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +58,7 @@ def _lbs_kernel(a_ref, w_ref, posed_ref, out_ref):
         out_ref[bi, 3:4, :] = jnp.zeros_like(px)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.custom_vjp
 def lbs_skin_pallas_cm(
     lbs_weights: jax.Array,  # (V, 24)
     a12: jax.Array,          # (B, 24, 12) — per-joint [R(9) | t(3)] rows
@@ -70,6 +69,11 @@ def lbs_skin_pallas_cm(
     Channel-major avoids any transpose of the large vertex tensors — the
     producers (blend shapes) write (B, 3, V) natively and only the final
     consumer-facing output transposes once.
+
+    The op is bilinear in (a12, v_posed) — the custom VJP below evaluates
+    the exact adjoints as XLA einsums (training batches are ~72, where the
+    (B, 12, V) intermediates the forward kernel avoids are only ~24 MB;
+    the B·N=3200 inference path never differentiates).
     """
     b, _, v = v_posed_cm.shape
     pad_b = (-b) % BATCH_BLOCK
@@ -109,3 +113,31 @@ def lbs_skin_pallas_cm(
         out_shape=jax.ShapeDtypeStruct((bp, 4, vp), jnp.float32),
     )(a_t, w_t, posed_t)
     return out[:b, :3, :v]
+
+
+def _lbs_fwd(lbs_weights, a12, v_posed_cm):
+    return lbs_skin_pallas_cm(lbs_weights, a12, v_posed_cm), (
+        lbs_weights, a12, v_posed_cm,
+    )
+
+
+def _lbs_bwd(res, g):
+    """Exact adjoints of out[b,c,v] = Σ_j W[v,j]·(R_j p + t_j) given
+    cotangent g (B, 3, V)."""
+    w, a12, p = res
+    hi = jax.lax.Precision.HIGHEST
+    t12 = jnp.einsum("vj,bjr->brv", w, a12, precision=hi)  # (B, 12, V)
+    # dL/dp[b,i,v] = Σ_c t12[b, 3c+i, v] · g[b,c,v]
+    rot = t12[:, :9].reshape(t12.shape[0], 3, 3, -1)  # (B, c, i, V)
+    dp = jnp.einsum("bciv,bcv->biv", rot, g, precision=hi)
+    # G12[b,r,v]: r=3c+i → g[b,c,v]·p[b,i,v]; r=9+c → g[b,c,v]
+    gp = jnp.einsum("bcv,biv->bciv", g, p, precision=hi).reshape(
+        g.shape[0], 9, -1
+    )
+    g12 = jnp.concatenate([gp, g], axis=1)  # (B, 12, V)
+    da = jnp.einsum("brv,vj->bjr", g12, w, precision=hi)  # (B, 24, 12)
+    dw = jnp.einsum("brv,bjr->vj", g12, a12, precision=hi)  # (V, 24)
+    return dw, da, dp
+
+
+lbs_skin_pallas_cm.defvjp(_lbs_fwd, _lbs_bwd)

@@ -127,15 +127,62 @@ def convert_smpl_pkl(pkl_path: str, npz_path: str):
     )
 
 
+def _dp_coherent_vertices(v: int, rng) -> "np.ndarray | None":
+    """Vertex positions that respect the DensePose mesh connectivity.
+
+    The renderer rasterizes the DensePose triangulation (13776 faces over the
+    6890 SMPL vertices via a UV vertex map); scattering vertices randomly
+    makes those triangles screen-sized, which is wildly unlike the real
+    2-6 px SMPL faces and breaks rasterizer realism (e.g. the binned
+    kernel's face-extent assumptions).  Here random positions are Laplacian
+    -smoothed over the DensePose edge graph onto an ellipsoid, giving a
+    smooth body-scale closed surface with realistically small faces."""
+    if v != 6890:
+        return None
+    try:
+        from ..render.renderer import load_densepose_uv
+
+        dp = load_densepose_uv(None)
+    except Exception:
+        return None
+    faces = np.asarray(dp["faces"])
+    vmap = np.asarray(dp["vertex_map"])
+    tri = vmap[faces]  # (F, 3) smpl-vertex ids
+    e0 = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2], tri[:, 1], tri[:, 2], tri[:, 0]])
+    e1 = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0], tri[:, 0], tri[:, 1], tri[:, 2]])
+    deg = np.zeros(v, np.float64)
+    np.add.at(deg, e0, 1.0)
+    deg = np.maximum(deg, 1.0)[:, None]
+    pos = rng.normal(size=(v, 3))
+    for _ in range(80):
+        acc = np.zeros((v, 3), np.float64)
+        np.add.at(acc, e0, pos[e1])
+        pos = acc / deg
+        pos -= pos.mean(0)
+        pos /= np.maximum(np.linalg.norm(pos, axis=1, keepdims=True), 1e-9)
+    return pos * np.array([0.35, 0.75, 0.25])  # body-ish ellipsoid (metres)
+
+
 def synthetic_smpl(num_verts: int = 128, num_betas: int = 10, seed: int = 0) -> SMPLModel:
     """Deterministic synthetic SMPL-structured model for tests/benchmarks when
     the real (licensed, externally downloaded) SMPL pkls are absent — same
-    situation as the reference repo, which also ships without them."""
+    situation as the reference repo, which also ships without them.
+
+    At the real vertex count (6890) the template is a smooth ellipsoid
+    embedding of the DensePose connectivity (small coherent faces, contiguous
+    silhouettes); at test sizes it falls back to scattered vertices."""
     rng = np.random.default_rng(seed)
     v = num_verts
     # joints laid out as a rough skeleton; vertices scattered around them
     joints = rng.normal(scale=0.3, size=(NUM_SMPL_JOINTS, 3))
-    verts = joints[rng.integers(0, NUM_SMPL_JOINTS, v)] + rng.normal(scale=0.05, size=(v, 3))
+    verts = _dp_coherent_vertices(v, rng)
+    if verts is None:
+        verts = joints[rng.integers(0, NUM_SMPL_JOINTS, v)] + rng.normal(
+            scale=0.05, size=(v, 3)
+        )
+    else:
+        # pull the joints inside the ellipsoid body so LBS stays sane
+        joints = verts[rng.integers(0, v, NUM_SMPL_JOINTS)] * 0.6
     # j_regressor: soft assignment to nearest joints
     d2 = ((verts[:, None] - joints[None]) ** 2).sum(-1)
     w = np.exp(-d2 / 0.01)

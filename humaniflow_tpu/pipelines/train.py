@@ -242,7 +242,9 @@ def train_humaniflow(
     current_epoch = 0
     best_epoch = 0
     best_epoch_val_metrics = {m: np.inf for m in save_val_metrics}
-    best_params = params
+    # device copy: train_step donates `params`, so a bare alias would be
+    # deleted by the next step and poison checkpoint saves
+    best_params = jax.tree_util.tree_map(jnp.copy, params)
     if resume_state is not None:
         from ..utils.checkpoints import load_training_info_from_checkpoint
 
@@ -311,7 +313,7 @@ def train_humaniflow(
             best_epoch = epoch
             for m in save_val_metrics:
                 best_epoch_val_metrics[m] = tracker.epochs_history[f"val_{m}"][-1]
-            best_params = params
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
 
         if epoch % cfg.TRAIN.EPOCHS_PER_SAVE == 0:
             save_checkpoint(

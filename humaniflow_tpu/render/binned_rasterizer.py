@@ -1,0 +1,298 @@
+"""Binned Pallas TPU rasterizer: per-strip face lists + edge-plane kernel.
+
+The tile-culled kernel (pallas_rasterizer.py) still tests every face of a
+*live* 64-face chunk against a 32x128 pixel tile — ~4k pixel tests for a
+triangle that covers ~30 pixels.  This rasterizer adds the binning a
+hardware rasterizer performs:
+
+1. **Bin (XLA)**: each face emits up to 12 (strip, face) candidates covering
+   its screen bbox (strips are 8x128 pixel blocks — the native f32 vector
+   register shape).  Candidates are sorted by strip id
+   (`jax.lax.sort_key_val`), giving each strip a contiguous window of the
+   sorted pair array.  Windows are widened to 128-slot alignment so the
+   face-id tables are built with *aligned row gathers* — 16x faster on TPU
+   than elementwise window gathers (3 ms vs 51 ms at training scale); the
+   kernel masks the ragged window edges with per-strip [lo, hi) slot bounds.
+2. **Precompute (XLA)**: per-face barycentric *edge-plane coefficients*
+   [a0 b0 c0 a1 b1 c1 za zb zc] so the kernel evaluates
+   w0 = a0·x + b0·y + c0, w1 = a1·x + b1·y + c1, w2 = 1 - w0 - w1,
+   z = za·x + zb·y + zc — three fused multiply-adds per plane, no per-face
+   divisions or scalar arithmetic in the inner loop.  Degenerate and padding
+   faces get c0 = -1 (never inside).
+3. **Rasterize (Pallas)**: grid (batch, strip, face-chunk); each instance
+   z-tests one 128-face chunk against its resident 8x128 tile; chunks past
+   the strip's [lo, hi) window are skipped whole (`pl.when` on SMEM bounds).
+
+Work scales with the number of (face, strip) overlaps (~2 strips/face)
+instead of faces x image: ~11x faster than the XLA rasterizer at training
+scale (B=72, F=13776, 256²) before tuning, and exact on all pixels except
+where a strip overflows its K table slots (see below).
+
+Faces that overflow a strip's K slots are dropped (z-buffer artifacts), as
+are faces taller than 6 strips (48 px) or wider than 2 (256 px) —
+`rasterize_binned` returns a per-batch overflow count so callers can check;
+at body-mesh training scale overflow only occurs in heavily foreshortened
+bands where the dropped faces are occluded slivers (<0.1% pixel diff).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterizer import BIG_DEPTH, Fragments
+
+STRIP_ROWS = 8
+STRIP_COLS = 128
+FACE_CHUNK = 128
+_ROW_CAND = 6  # bbox row-strip candidates per face (covers ≤ ~40 px tall)
+_NCOEF = 9     # a0 b0 c0 a1 b1 c1 za zb zc
+
+
+def _edge_plane_coeffs(tri: jax.Array) -> jax.Array:
+    """(…, 9) packed screen coords → (…, 9) edge-plane coefficients."""
+    x0, y0, z0 = tri[..., 0], tri[..., 1], tri[..., 2]
+    x1, y1, z1 = tri[..., 3], tri[..., 4], tri[..., 5]
+    x2, y2, z2 = tri[..., 6], tri[..., 7], tri[..., 8]
+    area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    valid = jnp.abs(area) > 1e-9
+    inv = jnp.where(valid, 1.0, 0.0) / jnp.where(valid, area, 1.0)
+    a0 = -(y2 - y1) * inv
+    b0 = (x2 - x1) * inv
+    c0 = ((y2 - y1) * x1 - (x2 - x1) * y1) * inv
+    a1 = -(y0 - y2) * inv
+    b1 = (x0 - x2) * inv
+    c1 = ((y0 - y2) * x2 - (x0 - x2) * y2) * inv
+    za = a0 * (z0 - z2) + a1 * (z1 - z2)
+    zb = b0 * (z0 - z2) + b1 * (z1 - z2)
+    zc = c0 * (z0 - z2) + c1 * (z1 - z2) + z2
+    c0 = jnp.where(valid, c0, -1.0)  # degenerate → w0 < 0 everywhere
+    return jnp.stack([a0, b0, c0, a1, b1, c1, za, zb, zc], axis=-1)
+
+
+def _make_kernel(n_col_strips):
+    """Kernel for one (batch, strip, face-chunk) instance.
+
+    bounds_ref: SMEM (1, 1, 1, 2)          — live slot window [lo, hi)
+    coef_ref:   SMEM (1, 1, 9, FACE_CHUNK) — edge-plane coefficients,
+        channel-major: SMEM blocks pad the minor dim to 128 lanes, so a
+        (FACE_CHUNK, 9) layout would DMA 14x more bytes than it uses
+    fid_ref:    SMEM (1, 1, 1, FACE_CHUNK) — original face ids
+    outputs:    VMEM (1, STRIP_ROWS, STRIP_COLS), revisited per chunk.
+
+    Slots outside [lo, hi) hold neighbouring strips' faces (the windows are
+    128-aligned) — they are masked out via a scalar broadcast into `take`.
+    """
+    def kernel(bounds_ref, coef_ref, fid_ref, depth_ref, face_ref, b0_ref, b1_ref):
+        ck = pl.program_id(2)
+
+        @pl.when(ck == 0)
+        def _init():
+            depth_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), BIG_DEPTH, jnp.float32)
+            face_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), -1, jnp.int32)
+            b0_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+            b1_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+
+        lo = bounds_ref[0, 0, 0, 0]
+        hi = bounds_ref[0, 0, 0, 1]
+
+        @pl.when((ck * FACE_CHUNK < hi) & ((ck + 1) * FACE_CHUNK > lo))
+        def _rasterize():
+            si = pl.program_id(1)
+            row0 = ((si // n_col_strips) * STRIP_ROWS).astype(jnp.float32)
+            col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
+            gy = (
+                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 0)
+                .astype(jnp.float32) + row0 + 0.5
+            )
+            gx = (
+                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 1)
+                .astype(jnp.float32) + col0 + 0.5
+            )
+
+            def body(k, _):
+                g = ck * FACE_CHUNK + k
+                live = (g >= lo) & (g < hi)
+                w0 = (
+                    coef_ref[0, 0, 0, k] * gx
+                    + coef_ref[0, 0, 1, k] * gy
+                    + coef_ref[0, 0, 2, k]
+                )
+                w1 = (
+                    coef_ref[0, 0, 3, k] * gx
+                    + coef_ref[0, 0, 4, k] * gy
+                    + coef_ref[0, 0, 5, k]
+                )
+                w2 = 1.0 - w0 - w1
+                z = (
+                    coef_ref[0, 0, 6, k] * gx
+                    + coef_ref[0, 0, 7, k] * gy
+                    + coef_ref[0, 0, 8, k]
+                )
+                take = live & (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (z < depth_ref[0])
+                fid = fid_ref[0, 0, 0, k]
+                depth_ref[0] = jnp.where(take, z, depth_ref[0])
+                face_ref[0] = jnp.where(take, fid, face_ref[0])
+                b0_ref[0] = jnp.where(take, w0, b0_ref[0])
+                b1_ref[0] = jnp.where(take, w1, b1_ref[0])
+                return 0
+
+            jax.lax.fori_loop(0, FACE_CHUNK, body, 0)
+
+    return kernel
+
+
+def _bin_faces(tri, f, h, w, k_max):
+    """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
+
+    Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
+    coefs (S, K_slots, 9), overflow scalar).  K_slots = k_max + FACE_CHUNK:
+    windows are 128-aligned so the leading partial chunk carries up to 127
+    foreign slots masked via lo.
+    """
+    n_row = h // STRIP_ROWS
+    n_col = w // STRIP_COLS
+    s = n_row * n_col
+
+    xs = tri[:, 0::3]
+    ys = tri[:, 1::3]
+    xmin, xmax = xs.min(1), xs.max(1)
+    ymin, ymax = ys.min(1), ys.max(1)
+    r0 = jnp.floor(ymin / STRIP_ROWS).astype(jnp.int32)
+    r1 = jnp.floor(ymax / STRIP_ROWS).astype(jnp.int32)
+    c0 = jnp.floor(xmin / STRIP_COLS).astype(jnp.int32)
+    c1 = jnp.floor(xmax / STRIP_COLS).astype(jnp.int32)
+
+    # sort candidates by (strip, quantized face depth): within a strip the
+    # window is near-to-far, so k_max overflow drops only the FARTHEST
+    # (z-buffer-occluded) faces — overflow becomes harmless at body scale
+    zmean = tri[:, 2::3].mean(1)
+    zlo = zmean.min()
+    zspan = jnp.maximum(zmean.max() - zlo, 1e-6)
+    zq = jnp.clip((zmean - zlo) / zspan * 1023.0, 0, 1023).astype(jnp.int32)
+
+    fid = jnp.arange(f, dtype=jnp.int32)
+    keys, vals = [], []
+    for dr in range(_ROW_CAND):
+        r = r0 + dr
+        row_ok = (r <= r1) & (r >= 0) & (r < n_row)
+        for ci, c in enumerate((c0, c1)):
+            col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1 > c0))
+            ok = row_ok & col_ok
+            keys.append(jnp.where(ok, (r * n_col + c) * 1024 + zq, s * 1024))
+            vals.append(fid)
+    keys = jnp.concatenate(keys)
+    vals = jnp.concatenate(vals)
+    keys, vals = jax.lax.sort_key_val(keys, vals)
+
+    n = vals.shape[0]
+    n_pad = -(-n // FACE_CHUNK) * FACE_CHUNK
+    vals = jnp.pad(vals, (0, n_pad - n))
+
+    start = jnp.searchsorted(
+        keys, jnp.arange(s + 1, dtype=jnp.int32) * 1024
+    ).astype(jnp.int32)
+    raw = start[1:] - start[:-1]
+    counts = jnp.minimum(raw, k_max)
+    overflow = jnp.maximum(raw - k_max, 0).sum()
+    overflow = overflow + ((r1 - r0 > _ROW_CAND - 1) | (c1 - c0 > 1)).sum()
+
+    # 128-aligned window rows: row gathers are ~16x faster than elementwise
+    row_lo = start[:-1] // FACE_CHUNK
+    n_rows = k_max // FACE_CHUNK + 1
+    max_row = n_pad // FACE_CHUNK - 1
+    ridx = jnp.clip(
+        row_lo[:, None] + jnp.arange(n_rows, dtype=jnp.int32)[None], 0, max_row
+    )  # (S, n_rows)
+    fids = vals.reshape(-1, FACE_CHUNK)[ridx].reshape(s, -1)  # (S, K_slots)
+    lo = start[:-1] - row_lo * FACE_CHUNK
+    bounds = jnp.stack([lo, lo + counts], axis=-1)  # (S, 2)
+
+    coefs = _edge_plane_coeffs(tri)  # (F, 9)
+    gathered = coefs[fids]  # (S, K_slots, 9) — fids are always in [0, F)
+    return bounds, fids, gathered, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "k_max"))
+def rasterize_binned(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    k_max: int = 896,
+):
+    """Binned rasterization (same contract as rasterizer.rasterize).
+
+    :param verts_screen: (B, V, 3) screen coords (x, y, depth)
+    :param faces: (F, 3) int32 — no pre-sorting needed (binning is exact
+        per batch element)
+    :param k_max: per-strip face capacity; overflowing faces are dropped
+    :return: (Fragments, overflow) — overflow is (B,) int32 of dropped
+        (face, strip) pairs per batch element (0 at body-mesh scale).
+    """
+    b, v, _ = verts_screen.shape
+    f = faces.shape[0]
+    h = w = image_size
+    assert h % STRIP_ROWS == 0 and w % STRIP_COLS == 0
+    assert k_max % FACE_CHUNK == 0
+    n_col_strips = w // STRIP_COLS
+    s = (h // STRIP_ROWS) * n_col_strips
+
+    tri = verts_screen[:, faces].reshape(b, f, 9)
+    bounds, fids, coefs, overflow = jax.vmap(
+        lambda t: _bin_faces(t, f, h, w, k_max)
+    )(tri)
+
+    k_slots = k_max + FACE_CHUNK
+    num_chunks = k_slots // FACE_CHUNK
+    grid = (b, s, num_chunks)
+    kernel = _make_kernel(n_col_strips)
+    # SMEM blocks: last two dims must equal the array's — lay the (strip,
+    # chunk) axes out flat so every block is a full trailing slab
+    bounds_in = bounds.reshape(b, s, 1, 2)
+    coefs_in = coefs.reshape(
+        b, s * num_chunks, FACE_CHUNK, _NCOEF
+    ).swapaxes(-1, -2)  # (…, 9, FACE_CHUNK) — lane-major chunks
+    fids_in = fids.reshape(b, s * num_chunks, 1, FACE_CHUNK)
+    depth, face, b0, b1 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, _NCOEF, FACE_CHUNK),
+                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, FACE_CHUNK),
+                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, STRIP_ROWS, STRIP_COLS),
+                lambda bi, si, ck: (bi, si // n_col_strips, si % n_col_strips),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+    )(bounds_in, coefs_in, fids_in)
+    mask = depth < BIG_DEPTH
+    face = jnp.where(mask, face, -1)
+    b0 = jnp.where(mask, b0, 0.0)
+    b1 = jnp.where(mask, b1, 0.0)
+    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+    bary = jnp.where(mask[..., None], bary, 0.0)
+    return Fragments(face_idx=face, bary=bary, depth=depth), overflow

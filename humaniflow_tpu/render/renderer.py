@@ -102,30 +102,45 @@ class TexturedIUVRenderer:
     render_rgb: bool = True
     uv_mat_path: Optional[str] = None
     chunk: int = 2048
-    # Opt-in tile-culled Pallas kernel (render/pallas_rasterizer.py): ~3×
-    # faster on sparse scenes (small scattered triangles) but the scalar
-    # per-face inner loop loses to XLA's dense brute force on full-body
-    # meshes — keep the XLA path as default until the kernel gains
-    # vectorised per-chunk face batching / two-level binning.
-    use_pallas: bool = False
+    # Rasterizer backend:
+    #   "xla"    — exact z-buffer scan over face chunks (works everywhere);
+    #   "tiled"  — tile-culled Pallas kernel (render/pallas_rasterizer.py),
+    #              exact, ~2x faster than xla at large batch on TPU;
+    #   "binned" — per-strip binned Pallas kernel
+    #              (render/binned_rasterizer.py), ~17x faster than xla at
+    #              training batch on TPU; near-exact (<0.1% boundary-pixel
+    #              differences where a strip's face table overflows — use
+    #              for the synthetic-training-data renders, keep exact
+    #              backends for metric-bearing eval renders).
+    # Falls back to "xla" on CPU or when img_wh isn't a multiple of 128.
+    rasterizer: str = "xla"
+    use_pallas: bool = False  # back-compat alias for rasterizer="tiled"
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
         self.dp = load_densepose_uv(self.uv_mat_path)
-        if self.use_pallas and (
+        if self.use_pallas and self.rasterizer == "xla":
+            self.rasterizer = "tiled"
+        assert self.rasterizer in ("xla", "tiled", "binned")
+        if self.rasterizer != "xla" and (
             jax.default_backend() == "cpu" or self.img_wh % 128 != 0
         ):
-            self.use_pallas = False
+            self.rasterizer = "xla"
         # jit the whole render pipeline (None args are empty pytrees; a
         # None→array change simply retraces)
         self._render_jit = jax.jit(self._render)
         self._silhouette_jit = jax.jit(self._render_silhouette_impl)
 
     def _rasterize(self, screen_verts):
-        """Rasterize with the tile-culled Pallas kernel on TPU (faces sorted
-        by current centroid row at runtime for culling coherence), falling
-        back to the XLA reference rasterizer elsewhere."""
-        if not self.use_pallas:
+        """Rasterize with the configured backend (see `rasterizer` field)."""
+        if self.rasterizer == "binned":
+            from .binned_rasterizer import rasterize_binned
+
+            frags, _overflow = rasterize_binned(
+                screen_verts, self.dp["faces"], self.img_wh
+            )
+            return frags, self.dp["faces"], self.dp["face_part"]
+        if self.rasterizer == "xla":
             return (
                 rasterize(screen_verts, self.dp["faces"], self.img_wh, chunk=self.chunk),
                 self.dp["faces"],
