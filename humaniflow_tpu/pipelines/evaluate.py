@@ -170,6 +170,25 @@ def make_eval_step(
     return eval_step
 
 
+def _render_sample_silhouettes(renderer, verts_samples, cam_wp, chunk=8):
+    """Silhouettes for all (B, N) sample meshes as a (B, N, wh, wh) bool mask.
+
+    Renders `chunk` samples per call through the renderer's jitted
+    silhouette path (flipping verts to the y-down render convention, same
+    cam as the point estimate — reference evaluate_humaniflow.py:209-224).
+    Chunking bounds peak rasterizer memory at large N (SSP-3D runs N=100).
+    """
+    b, n, v = verts_samples.shape[:3]
+    sils = []
+    for s0 in range(0, n, chunk):
+        k = min(chunk, n - s0)
+        flat = _flip_x(verts_samples[:, s0 : s0 + k]).reshape(b * k, v, 3)
+        cam = jnp.broadcast_to(cam_wp[:, None], (b, k, 3)).reshape(b * k, 3)
+        mask = renderer.render_silhouette(flat, cam)
+        sils.append(mask.reshape(b, k, *mask.shape[1:]).astype(bool))
+    return jnp.concatenate(sils, axis=1)
+
+
 def evaluate_humaniflow(
     model: HumaniflowModel,
     params,
@@ -186,6 +205,7 @@ def evaluate_humaniflow(
     renderer=None,
     key=None,
     mesh=None,
+    silhouette_sample_chunk: int = 8,
 ):
     """Full eval loop (reference: evaluate_humaniflow.py:18-286).
 
@@ -198,6 +218,7 @@ def evaluate_humaniflow(
     compute_samples = any("sample" in m for m in metrics)
     compute_joints2d = any("joints2D" in m for m in metrics)
     compute_silhouettes = any("silhouette" in m for m in metrics)
+    compute_sil_samples = any("silhouettesamples" in m for m in metrics)
 
     eval_step = make_eval_step(
         model, smpl_neutral, smpl_male, smpl_female, cfg,
@@ -250,6 +271,16 @@ def evaluate_humaniflow(
             )
             pred["silhouettes"] = sil
             target["silhouettes"] = jnp.asarray(silhouette_target)
+            if compute_sil_samples and compute_samples:
+                # Render a silhouette for every one of the B·N samples with
+                # the point-estimate camera (reference
+                # evaluate_humaniflow.py:209-224 loops renders per sample;
+                # here each chunked call rasterizes B·chunk meshes at once
+                # through the jitted coverage path).
+                pred["silhouettessamples"] = _render_sample_silhouettes(
+                    renderer, pred["verts3D_samples"], extra["cam_wp"],
+                    chunk=silhouette_sample_chunk,
+                )
 
         tracker.update_per_batch(pred, target, b, model_input=proxy)
 

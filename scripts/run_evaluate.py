@@ -49,13 +49,14 @@ def main():
     smpl_male = load_smpl_npz(paths.SMPL_MALE, regressor_paths=regs)
     smpl_female = load_smpl_npz(paths.SMPL_FEMALE, regressor_paths=regs)
 
+    from humaniflow_tpu.pipelines.protocols import (
+        EVAL_METRICS_3DPW,
+        EVAL_METRICS_SSP3D,
+    )
+
     # metric sets per dataset (reference: scripts/run_evaluate.py:70-94)
     if args.dataset == "3dpw":
-        metrics = ["PVE", "PVE-SC", "PVE-PA", "PVE-T-SC", "MPJPE", "MPJPE-SC", "MPJPE-PA"]
-        metrics += [m + "_samples_min" for m in metrics]
-        metrics += ["joints2D-L2E", "joints2Dsamples-L2E"]
-        metrics += ["verts3D_sample_diversity", "joints3D_sample_diversity",
-                    "joints3D_invis_sample_diversity", "joints3D_vis_sample_diversity"]
+        metrics = list(EVAL_METRICS_3DPW)
         dataset = PW3DEvalDataset(
             paths.PW3D_PATH, cfg, extreme_crop_scale=args.extreme_crop_scale,
             visible_joints_threshold=0.6,
@@ -63,10 +64,7 @@ def main():
         save_path = args.save_path or f"./evaluations/3dpw_eval_{args.num_samples}_samples"
         renderer = None
     else:
-        metrics = ["PVE-SC", "PVE-PA", "PVE-T-SC", "joints2D-L2E", "silhouette-IOU",
-                   "joints2Dsamples-L2E", "silhouettesamples-IOU",
-                   "verts3D_sample_diversity", "joints3D_sample_diversity",
-                   "joints3D_invis_sample_diversity", "joints3D_vis_sample_diversity"]
+        metrics = list(EVAL_METRICS_SSP3D)
         dataset = SSP3DEvalDataset(paths.SSP3D_PATH, cfg)
         save_path = args.save_path or f"./evaluations/ssp3d_eval_{args.num_samples}_samples"
         from humaniflow_tpu.render import TexturedIUVRenderer

@@ -1,6 +1,10 @@
 """Evaluate-pipeline test: full loop over a fake gendered dataset, checking
 the reference metric protocol end-to-end (proxy build → N-sample forward →
-gendered targets → metrics → per-frame dumps)."""
+gendered targets → metrics → per-frame dumps).
+
+The shipped per-dataset metric lists (`pipelines/protocols.py`, consumed by
+`scripts/run_evaluate.py`) are run verbatim so the `-D ssp3d` / `-D 3dpw`
+protocols are exercised in CI, including per-sample silhouette rendering."""
 
 import os
 
@@ -11,22 +15,24 @@ import pytest
 from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
 from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
 from humaniflow_tpu.pipelines.evaluate import evaluate_humaniflow
+from humaniflow_tpu.pipelines.protocols import EVAL_METRICS_3DPW, EVAL_METRICS_SSP3D
 
 IMG = 32
 
 
 class _FakeEvalDataset:
-    def __init__(self, n=4, img=IMG, seed=0):
+    def __init__(self, n=4, img=IMG, seed=0, with_silhouette=False):
         self.rng = np.random.default_rng(seed)
         self.n = n
         self.img = img
+        self.with_silhouette = with_silhouette
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, i):
         rng = np.random.default_rng(i)
-        return {
+        item = {
             "image": rng.uniform(size=(self.img, self.img, 3)).astype(np.float32),
             "heatmaps": rng.uniform(size=(17, self.img, self.img)).astype(np.float32),
             "pose": rng.normal(scale=0.3, size=72).astype(np.float32),
@@ -36,6 +42,11 @@ class _FakeEvalDataset:
             "fname": f"frame_{i:04d}.png",
             "gender": "f" if i % 2 else "m",
         }
+        if self.with_silhouette:
+            sil = np.zeros((self.img, self.img), np.float32)
+            sil[8:24, 10:22] = 1.0
+            item["silhouette"] = sil
+        return item
 
 
 @pytest.fixture(scope="module")
@@ -80,6 +91,63 @@ def test_evaluate_full_metric_set(setup, tmp_path):
     assert pf.shape == (4,)
     poses = np.load(os.path.join(tmp_path, "pose_per_frame.npy"))
     assert poses.shape == (4, 23, 3, 3)
+
+
+def test_evaluate_shipped_3dpw_protocol(setup, tmp_path):
+    """The exact `-D 3dpw` metric list from scripts/run_evaluate.py runs
+    end-to-end (all point-est metrics + their _samples_min variants)."""
+    cfg, model, params, smpl_n, smpl_m, smpl_f = setup
+    final = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg,
+        _FakeEvalDataset(n=4), list(EVAL_METRICS_3DPW),
+        batch_size=2, num_pred_samples=3,
+        save_path=str(tmp_path), save_per_frame_metrics=True,
+    )
+    for m in EVAL_METRICS_3DPW:
+        assert m in final and np.isfinite(final[m]), m
+    # min-over-samples never beats the best sample; sanity vs point est exists
+    assert final["PVE_samples_min"] > 0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        __import__(
+            "humaniflow_tpu.configs.paths", fromlist=["DENSEPOSE_UV"]
+        ).DENSEPOSE_UV
+    ),
+    reason="UV_Processed.mat not available",
+)
+def test_evaluate_shipped_ssp3d_protocol(tmp_path):
+    """The exact `-D ssp3d` metric list — including silhouette-IOU and
+    silhouettesamples-IOU, which need per-sample silhouette renders — runs
+    end-to-end (this is the protocol that crashed in round 1)."""
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    # silhouette rendering needs real-SMPL-sized meshes (DP vertex map)
+    smpl_n = synthetic_smpl(num_verts=6890, seed=0)
+    smpl_m = synthetic_smpl(num_verts=6890, seed=1)
+    smpl_f = synthetic_smpl(num_verts=6890, seed=2)
+    renderer = TexturedIUVRenderer(
+        img_wh=IMG, projection_type="orthographic", render_rgb=False,
+    )
+    final = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg,
+        _FakeEvalDataset(n=2, with_silhouette=True),
+        list(EVAL_METRICS_SSP3D),
+        batch_size=2, num_pred_samples=3, renderer=renderer,
+        save_path=str(tmp_path), save_per_frame_metrics=True,
+        silhouette_sample_chunk=2,  # force the chunked + remainder path
+    )
+    for m in EVAL_METRICS_SSP3D:
+        assert m in final and np.isfinite(final[m]), m
+    assert 0.0 <= final["silhouette-IOU"] <= 1.0
+    assert 0.0 <= final["silhouettesamples-IOU"] <= 1.0
+    pf = np.load(os.path.join(tmp_path, "silhouettesamples-IOU_per_frame.npy"))
+    assert pf.shape == (2,)
 
 
 def test_evaluate_data_parallel_matches_single(setup):
