@@ -9,7 +9,7 @@ pyro SplineCoupling), re-derived from the linear-rational-spline construction
 * bin widths/heights: softmax → floor at min_bin fraction → cumulative knots
   rescaled to [-bound, bound] with exact endpoints;
 * knot derivatives: count_bins-1 free params, softplus + min_derivative, with
-  boundary derivatives pinned to exactly 1 (identity tails);
+  boundary derivatives padded with pyro's constant 1 - min_derivative;
 * per-bin division point lambda: sigmoid squashed to [min_lambda, 1-min_lambda];
 * outside [-bound, bound]: identity with zero log-det.
 
@@ -17,8 +17,6 @@ Pure jnp, fully batched and branch-free (masked `where`s instead of the
 reference's in-place index assignment) so it vectorises across
 batch × samples × body-parts × preimage-branches in one fused XLA program.
 """
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +27,11 @@ MIN_DERIVATIVE = 1e-3
 MIN_LAMBDA = 0.025
 EPS = 1e-6
 
-# softplus(x) + MIN_DERIVATIVE == 1 at the boundary knots (identity tails)
-_BOUNDARY_RAW_DERIV = math.log(math.exp(1.0 - MIN_DERIVATIVE) - 1.0)
+# Boundary-knot derivative: pyro pads with the CONSTANT 1.0 - min_derivative
+# (spline.py, copied there from the original LRS code) — NOT exactly 1.  Kept
+# bit-faithful so densities match the reference checkpoint; pinned against
+# the numpy transcription in tests/pyro_oracle.py.
+_BOUNDARY_DERIV = 1.0 - MIN_DERIVATIVE
 
 
 def _make_knots(unnormalized, bound, min_frac):
@@ -96,10 +97,9 @@ def monotonic_rational_spline(
     widths, cumwidths = _make_knots(w_unnorm, bound, MIN_BIN_WIDTH)
     heights, cumheights = _make_knots(h_unnorm, bound, MIN_BIN_HEIGHT)
 
-    pad = jnp.full_like(d_unnorm[..., :1], _BOUNDARY_RAW_DERIV)
-    derivatives = MIN_DERIVATIVE + jax.nn.softplus(
-        jnp.concatenate([pad, d_unnorm, pad], axis=-1)
-    )  # (..., K+1), boundaries exactly 1
+    pad = jnp.full_like(d_unnorm[..., :1], _BOUNDARY_DERIV)
+    interior = MIN_DERIVATIVE + jax.nn.softplus(d_unnorm)
+    derivatives = jnp.concatenate([pad, interior, pad], axis=-1)  # (..., K+1)
 
     lambdas = (1.0 - 2.0 * MIN_LAMBDA) * jax.nn.sigmoid(l_unnorm) + MIN_LAMBDA
 
