@@ -223,11 +223,23 @@ def train_humaniflow(
     if opt_state is None:
         opt_state = optimizer.init(params)
 
+    shard_inputs = None
     if mesh is not None:
-        from ..parallel.mesh import replicate
+        from ..parallel.mesh import replicate, shard_batch
 
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
+        n_dev = mesh.devices.size
+        if bsz_check := (cfg.TRAIN.BATCH_SIZE % n_dev):
+            raise ValueError(
+                f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide the "
+                f"mesh device count {n_dev} (remainder {bsz_check})"
+            )
+        # Shard the host inputs over the data axis BEFORE the jitted
+        # synth-data generator: GSPMD propagates the batch sharding through
+        # data gen → forward → loss, and inserts the gradient all-reduce
+        # (psum over ICI) from the sharding annotations alone.
+        shard_inputs = lambda tree: shard_batch(tree, mesh)
 
     synth_batch = make_synth_data_fn(cfg, smpl, renderer)
     step_fn = make_train_step(
@@ -269,11 +281,16 @@ def train_humaniflow(
             step_count = 0
             for host_batch in dataset.epoch_batches(bsz):
                 key, k1, k2 = jax.random.split(key, 3)
+                dev_inputs = {
+                    "pose": jnp.asarray(host_batch["pose"]),
+                    "texture": jnp.asarray(host_batch["texture"]),
+                    "background": jnp.asarray(host_batch["background"]),
+                }
+                if shard_inputs is not None:
+                    dev_inputs = shard_inputs(dev_inputs)
                 batch = synth_batch(
-                    k1,
-                    jnp.asarray(host_batch["pose"]),
-                    jnp.asarray(host_batch["texture"]),
-                    jnp.asarray(host_batch["background"]),
+                    k1, dev_inputs["pose"], dev_inputs["texture"],
+                    dev_inputs["background"],
                 )
                 batch.pop("rgb_in")
                 if split == "train":

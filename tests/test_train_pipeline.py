@@ -115,6 +115,71 @@ def test_full_train_loop_with_tracker_and_checkpoint(setup, tmp_path):
 
 
 @needs_uv
+def test_train_data_parallel_matches_single(setup, tmp_path):
+    """A 2-epoch train_humaniflow(mesh=8) run reproduces the single-device
+    run's loss trajectory and final params with the same PRNG keys: the
+    synth-data batch is sharded over the data axis and GSPMD inserts the
+    gradient all-reduce (VERDICT r1 item 3)."""
+    import pickle
+
+    from humaniflow_tpu.parallel import make_mesh
+    from humaniflow_tpu.pipelines.train import train_humaniflow
+
+    _, smpl, renderer, model, params = setup
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    cfg.TRAIN.BATCH_SIZE = 8  # divides the 8-device mesh
+    cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH = 300.0 * IMG / 256.0
+    cfg.TRAIN.EPOCHS_PER_SAVE = 100  # skip checkpoint IO in this test
+
+    def run(mesh, exp_dir):
+        out_params, _ = train_humaniflow(
+            model, smpl, cfg, renderer,
+            _FakeDataset(n=8, seed=10), _FakeDataset(n=8, seed=11),
+            exp_dir,
+            params=jax.tree_util.tree_map(jnp.array, params),
+            metrics_to_track=(), save_val_metrics=(),
+            num_epochs=2, steps_per_epoch=1,
+            key=jax.random.PRNGKey(42), mesh=mesh,
+        )
+        with open(os.path.join(exp_dir, "log.pkl"), "rb") as f:
+            history = pickle.load(f)
+        return out_params, history
+
+    single_params, single_hist = run(None, str(tmp_path / "single"))
+    sharded_params, sharded_hist = run(make_mesh(8), str(tmp_path / "mesh"))
+
+    assert len(single_hist["train_losses"]) == 2
+    np.testing.assert_allclose(
+        sharded_hist["train_losses"], single_hist["train_losses"], rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        sharded_hist["val_losses"], single_hist["val_losses"], rtol=1e-3
+    )
+    flat_s = jax.tree_util.tree_leaves(single_params)
+    flat_m = jax.tree_util.tree_leaves(sharded_params)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3)
+
+
+@needs_uv
+def test_train_mesh_batch_size_mismatch_raises(setup, tmp_path):
+    from humaniflow_tpu.parallel import make_mesh
+    from humaniflow_tpu.pipelines.train import train_humaniflow
+
+    _, smpl, renderer, model, params = setup
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    cfg.TRAIN.BATCH_SIZE = 6  # does not divide 8
+    with pytest.raises(ValueError, match="must divide"):
+        train_humaniflow(
+            model, smpl, cfg, renderer, _FakeDataset(n=6), _FakeDataset(n=6),
+            str(tmp_path), params=jax.tree_util.tree_map(jnp.array, params),
+            num_epochs=1, mesh=make_mesh(8),
+        )
+
+
+@needs_uv
 def test_train_step_on_synth_batch(setup):
     cfg, smpl, renderer, model, params = setup
     synth = make_synth_data_fn(cfg, smpl, renderer)
