@@ -1,6 +1,11 @@
 from .evaluate import evaluate_humaniflow, make_eval_step
 from .optimise import optimise_batch_with_humaniflow_prior
-from .predict_hrnet import detect_person_bbox_torchvision, predict_hrnet
+from .predict_hrnet import (
+    bbox_from_keypoints,
+    detect_person_bbox_torchvision,
+    predict_hrnet,
+    predict_hrnet_batch,
+)
 from .train import make_synth_data_fn, train_humaniflow
 from .predict import (
     build_proxy_representation,
@@ -13,8 +18,10 @@ from .train_step import make_train_step, predict_joints2d
 __all__ = [
     "evaluate_humaniflow",
     "make_eval_step",
+    "bbox_from_keypoints",
     "detect_person_bbox_torchvision",
     "predict_hrnet",
+    "predict_hrnet_batch",
     "make_synth_data_fn",
     "train_humaniflow",
     "optimise_batch_with_humaniflow_prior",

