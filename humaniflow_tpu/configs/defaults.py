@@ -22,6 +22,10 @@ class NormFlowConfig:
     NUM_SPLINE_SEGMENTS: int = 8
     PERMUTE_TYPE: str = "permute"  # permute | conditional_linear_plu
     PERMUTE_NN_HIDDEN_DIMS: Optional[Tuple[int, ...]] = None
+    # per-block BatchNorm flow layer (off by default, as in the reference
+    # factory pyro_conditional_norm_flow.py:29); running stats EMA-update
+    # during training via the train step (train_step.py)
+    BATCH_NORM: bool = False
     COMPACT_SUPPORT_RADIUS: float = 1.5 * math.pi
     BASE_DIST_STD: float = 0.6
 

@@ -211,3 +211,18 @@ class FlowBatchNorm:
         x = (y - params["moving_mean"]) / std * jnp.exp(params["log_gamma"]) + params["beta"]
         ld = jnp.sum(jnp.log(std) - params["log_gamma"])
         return x, jnp.broadcast_to(ld, y.shape[:-1])
+
+    def update_stats(self, params, y):
+        """EMA update of the running statistics from a training batch of
+        density-direction inputs (pyro BatchNorm training semantics:
+        moving ← (1-m)·moving + m·batch).  `y` may carry extra leading batch
+        axes beyond the stat shape (e.g. a stacked body-part axis kept)."""
+        extra = y.ndim - params["moving_mean"].ndim
+        axes = tuple(range(extra))
+        mean = jnp.mean(y, axis=axes)
+        var = jnp.var(y, axis=axes)
+        m = self.momentum
+        new = dict(params)
+        new["moving_mean"] = (1.0 - m) * params["moving_mean"] + m * mean
+        new["moving_var"] = (1.0 - m) * params["moving_var"] + m * var
+        return new

@@ -84,6 +84,32 @@ class ConditionalFlow:
         )
         return base_lp - total_ld
 
+    @property
+    def has_batch_norm(self) -> bool:
+        return any(isinstance(t, FlowBatchNorm) for t in self.transforms)
+
+    def update_batchnorm_stats(self, params, y, context=None):
+        """Update every FlowBatchNorm layer's running statistics from a
+        training batch: run the inverse (density-direction) chain and feed
+        each BN layer the value it normalises.  Returns new params (pure —
+        the stats live in the params pytree).  No-op without BN layers.
+
+        Note: the SO(3) pushforward's preimage set is handled upstream by
+        scoring the principal log-map branch (pyro updates stats on every
+        xset branch it inverts; the principal branch is the dominant one
+        inside the compact support)."""
+        if not self.has_batch_norm:
+            return params
+        new_params = dict(params)
+        x = y
+        for i in reversed(range(len(self.transforms))):
+            t = self.transforms[i]
+            p = params[f"transform_{i}"]
+            if isinstance(t, FlowBatchNorm):
+                new_params[f"transform_{i}"] = t.update_stats(p, x)
+            x, _ = t.inverse(p, x, context)
+        return new_params
+
     def mode_estimate(self, params, context):
         """Push the base-distribution mode (0) through the flow — the
         reference's pose point estimate (humaniflow_model.py:296)."""

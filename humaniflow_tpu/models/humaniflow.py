@@ -125,6 +125,7 @@ class HumaniflowModel:
             transform_hidden_dims=nf.TRANSFORM_NN_HIDDEN_DIMS,
             permute_type=nf.PERMUTE_TYPE,
             permute_hidden_dims=nf.PERMUTE_NN_HIDDEN_DIMS,
+            batch_norm=getattr(nf, "BATCH_NORM", False),
             radial_tanh_radius=nf.COMPACT_SUPPORT_RADIUS,
             base_dist_std=nf.BASE_DIST_STD,
             count_bins=nf.NUM_SPLINE_SEGMENTS,
@@ -390,3 +391,25 @@ class HumaniflowModel:
         return self.so3_dist.log_prob(
             flow_p, rotmat[..., None, :, :], context[..., None, :]
         )[..., 0]
+
+    def update_pose_flow_batchnorm_stats(self, params, pose_rotmats, contexts):
+        """EMA-update FlowBatchNorm running statistics from a training batch
+        (no-op unless MODEL.NORM_FLOW batch_norm is enabled).  Scores the
+        principal so(3) log-map branch of the target rotations — the value
+        the density-direction chain normalises (pyro trains its BatchNorm on
+        exactly these inverse-path activations).
+
+        :param pose_rotmats: (B, 23, 3, 3); :param contexts: (B, 23, ctx).
+        :return: params with updated flow BN stats (pure; stats live in the
+            params pytree).
+        """
+        if not self.flow.has_batch_norm:
+            return params
+        from ..ops.so3 import so3_log
+
+        y = so3_log(pose_rotmats)  # (B, 23, 3) principal branch
+        new_params = dict(params)
+        new_params["flows"] = self.flow.update_batchnorm_stats(
+            params["flows"], y, contexts
+        )
+        return new_params

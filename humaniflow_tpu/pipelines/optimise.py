@@ -141,21 +141,19 @@ def optimise_batch_with_humaniflow_prior(
 
     @jax.jit
     def run(state):
-        aux0 = {
-            "joints2D": jnp.array(0.0),
-            "pose_logprob": jnp.array(0.0),
-            "shape_logprob": jnp.array(0.0),
-        }
-        return jax.lax.fori_loop(
+        _, aux0 = loss_fn(state)  # pre-optimisation loss terms
+        out = jax.lax.fori_loop(
             0, optimise_cfg.NUM_ITERS, body, (state, jnp.array(False), aux0)
         )
+        return out, aux0
 
-    final_state, halted, aux = run(state)
+    (final_state, halted, aux), aux0 = run(state)
     return {
         "pose_axisangle": final_state["pose"].reshape(b, 23, 3),
         "glob_axisangle": final_state["glob"],
         "shape": final_state["shape"],
         "cam_wp": final_state["cam"],
         "halted_on_nan": halted,
+        "initial_losses": aux0,
         "final_losses": aux,
     }

@@ -148,10 +148,15 @@ def make_train_step(
             mt = jax.lax.stop_gradient(_metric_tensors(out, batch))
             mt["pred_joints2D"] = jax.lax.stop_gradient(pred["joints2D"][:, 0])
             breakdown = {**breakdown, "metric_tensors": mt}
-        return total, (breakdown, out.get("encoder_batch_stats"))
+        flow_ctx = (
+            jax.lax.stop_gradient(out["pose_flow_contexts_for_loglik"])
+            if model.flow.has_batch_norm
+            else None
+        )
+        return total, (breakdown, out.get("encoder_batch_stats"), flow_ctx)
 
     def train_step(params, opt_state, batch, key):
-        (loss, (breakdown, new_bn)), grads = jax.value_and_grad(
+        (loss, (breakdown, new_bn, flow_ctx)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch, key)
 
@@ -161,6 +166,12 @@ def make_train_step(
             new_params = dict(new_params)
             new_params["encoder"] = dict(new_params["encoder"])
             new_params["encoder"]["batch_stats"] = new_bn
+        if flow_ctx is not None:
+            # EMA-update FlowBatchNorm running stats from this batch's
+            # teacher-forced targets (no-op unless NORM_FLOW batch_norm on)
+            new_params = model.update_pose_flow_batchnorm_stats(
+                new_params, batch["pose_rotmats"], flow_ctx
+            )
 
         # Functional NaN rollback (reference: train_humaniflow.py:264-278):
         # non-finite loss or gradient norm → keep previous state.

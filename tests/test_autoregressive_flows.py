@@ -67,6 +67,66 @@ def test_flow_batch_norm():
     np.testing.assert_allclose(np.asarray(ld2), np.asarray(ld), atol=1e-6)
 
 
+def test_flow_batch_norm_stats_update():
+    """Running statistics EMA-update from training batches (pyro BatchNorm
+    training semantics) — repeated updates converge the stats to the data
+    distribution, including with a stacked leading part axis."""
+    t = FlowBatchNorm(input_dim=3, momentum=0.5)
+    params = t.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(loc=2.0, scale=3.0, size=(512, 3)), jnp.float32)
+    for _ in range(20):
+        params = t.update_stats(params, data)
+    np.testing.assert_allclose(np.asarray(params["moving_mean"]), data.mean(0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params["moving_var"]), data.var(0), atol=1e-4)
+
+    # stacked (P, D) stats with (B, P, D) inputs reduce over batch only
+    stacked = {k: jnp.stack([v, v]) for k, v in t.init(jax.random.PRNGKey(1)).items()}
+    y = jnp.asarray(rng.normal(size=(64, 2, 3)), jnp.float32)
+    out = t.update_stats(stacked, y)
+    assert out["moving_mean"].shape == (2, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["moving_mean"]), 0.5 * np.asarray(y.mean(0)), atol=1e-6
+    )
+
+
+def test_flow_update_batchnorm_stats_end_to_end():
+    """ConditionalFlow.update_batchnorm_stats touches every BN layer and
+    leaves a BN-free flow's params untouched."""
+    from humaniflow_tpu.flows import create_conditional_norm_flow
+
+    flow = create_conditional_norm_flow(
+        event_dim=3, context_dim=CTX, num_transforms=2,
+        transform_type="additive_coupling", transform_hidden_dims=(16,),
+        permute_type="permute", batch_norm=True,
+        radial_tanh_radius=4.0, base_dist_std=0.6,
+    )
+    assert flow.has_batch_norm
+    params = flow.init(jax.random.PRNGKey(2))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (32, CTX))
+    y = flow.sample(params, jax.random.PRNGKey(4), ctx)
+    new = flow.update_batchnorm_stats(params, y, ctx)
+    changed = 0
+    for i, t_ in enumerate(flow.transforms):
+        if isinstance(t_, FlowBatchNorm):
+            old_p = params[f"transform_{i}"]
+            new_p = new[f"transform_{i}"]
+            assert not np.allclose(new_p["moving_mean"], old_p["moving_mean"])
+            changed += 1
+    assert changed == 2  # one BN per block
+    # log_prob still finite with updated stats
+    lp = flow.log_prob(new, y, ctx)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    no_bn = create_conditional_norm_flow(
+        event_dim=3, context_dim=CTX, num_transforms=1,
+        transform_type="additive_coupling", transform_hidden_dims=(16,),
+        permute_type="permute", radial_tanh_radius=4.0, base_dist_std=0.6,
+    )
+    p2 = no_bn.init(jax.random.PRNGKey(5))
+    assert no_bn.update_batchnorm_stats(p2, y, ctx) is p2
+
+
 @pytest.mark.parametrize("ttype", ["affine_masked", "spline_masked"])
 def test_factory_masked_variants_density(ttype):
     flow = create_conditional_norm_flow(
