@@ -1,16 +1,28 @@
-"""Benchmark: 100-sample pose/shape distribution inference per image.
+"""Benchmarks: distribution inference (headline) + full training step.
 
-The reference's headline capability (predict/predict_humaniflow.py with
+Headline: 100-sample pose/shape distribution inference per image — the
+reference's flagship capability (predict/predict_humaniflow.py with
 num_samples, README.md:88) run as ONE jitted graph: proxy → HumaniflowModel
 (point estimate + N=100 hierarchical samples) → SMPL vertices for every
 sample → per-vertex directional variance.  The reference does this as a
 per-image Python loop over pyro distribution objects at batch size 1; here
 it is a single compiled XLA program at batch 32.
 
-Prints one JSON line: images/sec/chip for full 100-sample distribution
-inference.  vs_baseline is vs the reference repo's published numbers — it
-publishes none (BASELINE.md), so 1.0 is reported until a measured torch
-baseline exists.
+Also measured (reported in "detail"): the full training iteration at the
+reference's batch size 72 — jitted synthetic-data generation (SMPL →
+perspective IUV/RGB render → crop → augment → Canny → heatmaps, reference
+train_humaniflow.py:113-245) plus the fused forward/loss/backward/update
+step — as steps/sec, images/sec, and an MFU estimate from XLA-counted FLOPs
+against the chip's bf16 peak.
+
+vs_baseline: the reference repo publishes NO benchmark numbers
+(BASELINE.md) and torch cannot run this workload on a TPU chip, so there is
+no measured reference baseline — reported as null rather than a fabricated
+ratio.  The analytic anchor: one 100-sample inference image is ~3.0 GFLOP
+(ResNet-18@256² ≈ 2.7 GFLOP + 100×(flow+LBS) ≈ 0.3 GFLOP), so 1,500 img/s
+≈ 4.5 TFLOP/s sustained.
+
+Prints one JSON line.
 """
 
 import json
@@ -32,16 +44,45 @@ BATCH = 32
 NUM_SAMPLES = 100
 IMG = 256
 NUM_VERTS = 6890  # real SMPL vertex count
+TRAIN_BATCH = 72  # reference train batch (humaniflow_config.py:39)
+
+# TPU v5e peak: 197 TFLOP/s bf16 (394 TOPS int8).  MFU below is against the
+# bf16 peak — an under-estimate wherever XLA runs f32 passes.
+PEAK_FLOPS = {"v5e": 197e12, "v5litepod": 197e12, "v4": 275e12, "v6e": 918e12}
 
 
-def main():
-    from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
-    from humaniflow_tpu.models import HumaniflowModel, smpl_forward, synthetic_smpl
+def _device_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    for k, v in PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12
 
-    cfg = get_humaniflow_cfg_defaults()
-    model = HumaniflowModel(cfg.MODEL)
-    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
-    smpl = synthetic_smpl(num_verts=NUM_VERTS)
+
+def _timed(fn, *args, n_iters=50, key_arg=None):
+    """Amortized queued timing (axon tunnel: per-call dispatch overhead is
+    ~6 ms at 10 queued calls but ~0.5 ms at 100 — docs/DESIGN.md)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _compiled_flops(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_inference(cfg, model, params, smpl):
+    from humaniflow_tpu.models import smpl_forward
 
     @jax.jit
     def distribution_inference(params, proxy, key):
@@ -67,35 +108,153 @@ def main():
         return point_est["vertices"], vertex_var
 
     proxy = jax.random.normal(jax.random.PRNGKey(1), (BATCH, IMG, IMG, 18))
+    key = jax.random.PRNGKey(2)
+    dt = _timed(lambda: distribution_inference(params, proxy, key), n_iters=50)
+    flops = _compiled_flops(distribution_inference, params, proxy, key)
+    return {
+        "images_per_sec": BATCH / dt,
+        "latency_ms_per_batch": dt * 1000,
+        "flops_per_batch": flops,
+        "mfu_bf16_peak": flops / dt / _device_peak_flops() if flops else None,
+    }
 
-    # warmup/compile
-    out = distribution_inference(params, proxy, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
 
-    # Enough queued iterations to fill the async dispatch pipeline — through
-    # the axon tunnel, per-call dispatch overhead is ~6 ms at 10 queued calls
-    # but ~0.5 ms at 100 (see docs/DESIGN.md measurement methodology).
-    n_iters = 50
+def bench_train(cfg, model, params, smpl):
+    """Full training iteration: jitted synth-data gen + fused train step."""
+    import optax
+
+    from humaniflow_tpu.pipelines.train import make_synth_data_fn
+    from humaniflow_tpu.pipelines.train_step import make_train_step
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    cfg.TRAIN.BATCH_SIZE = TRAIN_BATCH
+    renderer = TexturedIUVRenderer(
+        img_wh=IMG, projection_type="perspective",
+        focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
+        rasterizer="binned",  # training-data renders use the binned kernel
+    )
+    synth = make_synth_data_fn(cfg, smpl, renderer)
+    optimizer = optax.adam(cfg.TRAIN.LR)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(model, smpl, cfg.LOSS, optimizer, img_wh=IMG))
+
+    rng = np.random.default_rng(0)
+    pose = jnp.asarray(rng.normal(scale=0.3, size=(TRAIN_BATCH, 72)), jnp.float32)
+    texture = jnp.asarray(rng.uniform(size=(TRAIN_BATCH, 1200, 800, 3)), jnp.float32)
+    background = jnp.asarray(
+        rng.uniform(size=(TRAIN_BATCH, IMG, IMG, 3)), jnp.float32
+    )
+    k1, k2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    def full_iter(params, opt_state):
+        batch = synth(k1, pose, texture, background)
+        batch.pop("rgb_in")
+        return step(params, opt_state, batch, k2)
+
+    # warmup/compile both programs
+    p, o, m = full_iter(params, opt_state)
+    jax.block_until_ready(m["total"])
+
+    n_iters = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = distribution_inference(params, proxy, jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(out)
+    for _ in range(n_iters):
+        p, o, m = full_iter(p, o)
+    jax.block_until_ready(m["total"])
     dt = (time.perf_counter() - t0) / n_iters
 
-    images_per_sec = BATCH / dt
+    # stage split: synth alone (same amortized timing)
+    dt_synth = _timed(
+        lambda: synth(k1, pose, texture, background)["proxy"], n_iters=10
+    )
+
+    batch = synth(k1, pose, texture, background)
+    batch.pop("rgb_in")
+    step_flops = _compiled_flops(step, params, opt_state, batch, k2)
+    synth_flops = _compiled_flops(synth, k1, pose, texture, background)
+    flops = step_flops + synth_flops
+    return {
+        "steps_per_sec": 1.0 / dt,
+        "images_per_sec": TRAIN_BATCH / dt,
+        "iter_ms": dt * 1000,
+        "synth_ms": dt_synth * 1000,
+        "step_ms": (dt - dt_synth) * 1000,
+        "flops_per_iter": flops,
+        "mfu_bf16_peak": flops / dt / _device_peak_flops() if flops else None,
+    }
+
+
+def bench_hrnet():
+    """Batched HRNet-W48 keypoint detection at the reference input size
+    (384×288): the heaviest conv stack in the system (SURVEY.md §3.1),
+    jitted with normalisation + keypoint decode fused in."""
+    import importlib
+
+    from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
+
+    ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+    hrnet = PoseHighResolutionNet()
+    params = hrnet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 384, 288, 3)), train=False
+    )
+    forward = ph._hrnet_forward_fn(hrnet)
+    b = 16
+    crops = jax.random.uniform(jax.random.PRNGKey(1), (b, 384, 288, 3))
+    dt = _timed(lambda: forward(params, crops), n_iters=20)
+    flops = _compiled_flops(forward, params, crops)
+    return {
+        "batch": b,
+        "images_per_sec": b / dt,
+        "latency_ms_per_batch": dt * 1000,
+        "mfu_bf16_peak": flops / dt / _device_peak_flops() if flops else None,
+    }
+
+
+def main():
+    from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
+    from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
+
+    cfg = get_humaniflow_cfg_defaults()
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    smpl = synthetic_smpl(num_verts=NUM_VERTS)
+
+    inf = bench_inference(cfg, model, params, smpl)
+    try:
+        train = bench_train(cfg, model, params, smpl)
+    except Exception as e:  # train bench must never take down the headline
+        train = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        hrnet = bench_hrnet()
+    except Exception as e:
+        hrnet = {"error": f"{type(e).__name__}: {e}"}
+
+    detail = {
+        "batch": BATCH,
+        "num_samples": NUM_SAMPLES,
+        "latency_ms_per_batch": round(inf["latency_ms_per_batch"], 2),
+        "inference_mfu_bf16_peak": (
+            round(inf["mfu_bf16_peak"], 4) if inf.get("mfu_bf16_peak") else None
+        ),
+        "train": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in train.items()
+        },
+        "hrnet": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in hrnet.items()
+        },
+        "device": str(jax.devices()[0]),
+    }
     print(
         json.dumps(
             {
                 "metric": "distribution_inference_100samples",
-                "value": round(images_per_sec, 2),
+                "value": round(inf["images_per_sec"], 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": 1.0,
-                "detail": {
-                    "batch": BATCH,
-                    "num_samples": NUM_SAMPLES,
-                    "latency_ms_per_batch": round(dt * 1000, 2),
-                    "device": str(jax.devices()[0]),
-                },
+                # no published reference baseline exists (BASELINE.md);
+                # see module docstring for the analytic FLOP anchor
+                "vs_baseline": None,
+                "detail": detail,
             }
         )
     )

@@ -5,10 +5,12 @@ Capability parity with reference `utils/image_utils.py`
 (bbox converters :7-45, batch_add_rgb_background :48, batch_crop_opencv_affine
 :62 and batch_crop_pytorch_affine :234 including uncropping).  TPU-first:
 
-* one gather-based bilinear/nearest affine sampler replaces both the per-image
-  cv2.warpAffine loop and torch affine_grid/grid_sample — sampling coordinates
-  are derived in pixel space to match torch's align_corners=False semantics
-  exactly (half-pixel centres);
+* one separable matmul-based bilinear/nearest affine sampler replaces both
+  the per-image cv2.warpAffine loop and torch affine_grid/grid_sample —
+  sampling coordinates are derived in pixel space to match torch's
+  align_corners=False semantics exactly (half-pixel centres), and the
+  axis-aligned warp runs as two batched MXU einsums instead of per-pixel
+  gathers (docs/DESIGN.md "Crop/uncrop resampling");
 * bbox determination from silhouettes/joints is a masked min/max reduction
   (static shapes, jit-able) instead of np.argwhere.
 """
@@ -83,37 +85,49 @@ def batch_add_rgb_background(backgrounds, rgb, seg):
     return jnp.where(body, rgb, backgrounds)
 
 
-def _affine_sample(img, src_x, src_y, mode: str, pad_val: float = 0.0):
-    """Sample img (B, H, W, C) at per-pixel source coords (B, OH, OW)."""
-    b, h, w, c = img.shape
+def _interp_matrix(src, size: int, mode: str):
+    """Per-batch 1-D resampling matrix M (B, O, size) with M[b, o, i] the
+    weight of source index i for output o, plus the in-range mask (B, O).
 
-    def sample_one(im, sx, sy):
-        if mode == "nearest":
-            ix = jnp.round(sx).astype(jnp.int32)
-            iy = jnp.round(sy).astype(jnp.int32)
-            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-            ixc = jnp.clip(ix, 0, w - 1)
-            iyc = jnp.clip(iy, 0, h - 1)
-            vals = im[iyc, ixc]
-            return jnp.where(valid[..., None], vals, pad_val)
-        # bilinear with zero padding outside
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        wx = (sx - x0)[..., None]
-        wy = (sy - y0)[..., None]
-        out = 0.0
-        for dy in (0, 1):
-            for dx in (0, 1):
-                ix = x0.astype(jnp.int32) + dx
-                iy = y0.astype(jnp.int32) + dy
-                valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-                v = im[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
-                v = jnp.where(valid[..., None], v, pad_val)
-                weight = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
-                out = out + v * weight
-        return out
+    Out-of-range taps get zero rows (== contribute pad 0); nearest keeps
+    jnp.round's semantics exactly.
+    """
+    ar = jnp.arange(size, dtype=jnp.int32)
+    if mode == "nearest":
+        idx = jnp.round(src).astype(jnp.int32)  # (B, O)
+        valid = (idx >= 0) & (idx < size)
+        m = (idx[..., None] == ar).astype(jnp.float32)
+        return m, valid
+    x0f = jnp.floor(src)
+    w1 = (src - x0f)[..., None]
+    i0 = x0f.astype(jnp.int32)[..., None]
+    # equality against the index row drops out-of-range taps for free
+    m = (i0 == ar) * (1.0 - w1) + ((i0 + 1) == ar) * w1
+    valid = (src >= 0.0) & (src <= size - 1.0)
+    return m.astype(jnp.float32), valid
 
-    return jax.vmap(sample_one)(img, src_x, src_y)
+
+def _separable_sample(img, src_xs, src_ys, mode: str, pad_val: float = 0.0):
+    """Axis-aligned affine resample as two batched MXU matmuls.
+
+    The crop/uncrop affines here are scale+translate only, so the 2-D
+    interpolation separates into row then column 1-D resampling — two
+    einsums instead of 4 gathers per pixel (XLA TPU lowers per-pixel image
+    gathers to a latency-bound path: 251 ms/batch at B=72/256² for the
+    round-1 gather sampler, vs matmul-fast here; docs/DESIGN.md).
+
+    :param img: (B, H, W, C); :param src_xs: (B, OW); :param src_ys: (B, OH).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    _, h, w, _ = img.shape
+    my, vy = _interp_matrix(src_ys, h, mode)  # (B, OH, H)
+    mx, vx = _interp_matrix(src_xs, w, mode)  # (B, OW, W)
+    tmp = jnp.einsum("boh,bhwc->bowc", my, img, precision=hi)
+    out = jnp.einsum("bpw,bowc->bopc", mx, tmp, precision=hi)
+    if pad_val != 0.0:
+        valid = vy[:, :, None] & vx[:, None, :]
+        out = jnp.where(valid[..., None], out, pad_val)
+    return out
 
 
 def _crop_affine_params(
@@ -194,18 +208,19 @@ def batch_crop_affine(
     ow, oh = int(output_wh[0]), int(output_wh[1])
     xs = jnp.arange(ow, dtype=jnp.float32)
     ys = jnp.arange(oh, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)  # (OH, OW)
-    # src pixel-centre coords (align_corners=False semantics)
-    src_x = (gx[None] + 0.5 - trans[:, 0, None, None]) / scale[:, 0, None, None] - 0.5
-    src_y = (gy[None] + 0.5 - trans[:, 1, None, None]) / scale[:, 1, None, None] - 0.5
+    # src pixel-centre coords (align_corners=False semantics); the affine is
+    # axis-aligned so x depends only on the output column and y only on the
+    # output row → separable matmul resampling (_separable_sample)
+    src_xs = (xs[None] + 0.5 - trans[:, 0, None]) / scale[:, 0, None] - 0.5  # (B, OW)
+    src_ys = (ys[None] + 0.5 - trans[:, 1, None]) / scale[:, 1, None] - 0.5  # (B, OH)
 
     out = {"crop_scale": scale, "crop_trans": trans}
     if iuv is not None:
-        out["iuv"] = _affine_sample(iuv, src_x, src_y, "nearest", out_of_frame_pad_val)
+        out["iuv"] = _separable_sample(iuv, src_xs, src_ys, "nearest", out_of_frame_pad_val)
     if rgb is not None:
-        out["rgb"] = _affine_sample(rgb, src_x, src_y, "bilinear", 0.0)
+        out["rgb"] = _separable_sample(rgb, src_xs, src_ys, "bilinear", 0.0)
     if seg is not None:
-        out["seg"] = _affine_sample(seg[..., None], src_x, src_y, "nearest", 0.0)[..., 0]
+        out["seg"] = _separable_sample(seg[..., None], src_xs, src_ys, "nearest", 0.0)[..., 0]
     if joints2d is not None:
         out["joints2d"] = joints2d * scale[:, None, :] + trans[:, None, :]
     return out
@@ -236,7 +251,6 @@ def batch_uncrop_affine(
     uw, uh = int(uncrop_wh[0]), int(uncrop_wh[1])
     xs = jnp.arange(uw, dtype=jnp.float32)
     ys = jnp.arange(uh, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)
-    src_x = (gx[None] + 0.5 - tx[:, None, None]) / sx[:, None, None] - 0.5
-    src_y = (gy[None] + 0.5 - ty[:, None, None]) / sy[:, None, None] - 0.5
-    return _affine_sample(cropped, src_x, src_y, mode, pad_val)
+    src_xs = (xs[None] + 0.5 - tx[:, None]) / sx[:, None] - 0.5
+    src_ys = (ys[None] + 0.5 - ty[:, None]) / sy[:, None] - 0.5
+    return _separable_sample(cropped, src_xs, src_ys, mode, pad_val)

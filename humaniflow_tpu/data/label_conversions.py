@@ -41,10 +41,19 @@ for _src, _dst in [
 
 
 def convert_densepose_seg_to_14part_labels(densepose_seg):
-    """24 DensePose part labels → 14 part labels (lookup-table gather)."""
+    """24 DensePose part labels → 14 part labels.
+
+    On device the 25-entry lookup runs as an unrolled select chain instead
+    of a per-pixel gather — XLA TPU lowers image-sized gathers to a
+    latency-bound path (~35 ms/batch at B=72/256² for this LUT alone),
+    while 24 fused vector selects are ~1 ms (docs/DESIGN.md)."""
     if isinstance(densepose_seg, np.ndarray):
         return _DP24_TO_14[densepose_seg.astype(np.int32)]
-    return jnp.asarray(_DP24_TO_14)[densepose_seg.astype(jnp.int32)]
+    seg = densepose_seg.astype(jnp.int32)
+    out = jnp.zeros_like(seg)
+    for src in range(1, 25):
+        out = jnp.where(seg == src, int(_DP24_TO_14[src]), out)
+    return out
 
 
 def convert_multiclass_to_binary_labels(labels):

@@ -29,10 +29,11 @@ scale (B=72, F=13776, 256²) before tuning, and exact on all pixels except
 where a strip overflows its K table slots (see below).
 
 Faces that overflow a strip's K slots are dropped (z-buffer artifacts), as
-are faces taller than 6 strips (48 px) or wider than 2 (256 px) —
-`rasterize_binned` returns a per-batch overflow count so callers can check;
-at body-mesh training scale overflow only occurs in heavily foreshortened
-bands where the dropped faces are occluded slivers (<0.1% pixel diff).
+are faces taller than `row_cand` strips (default 6 → 48 px) or wider than 2
+(256 px) — `rasterize_binned` returns a per-batch overflow count so callers
+can check, and `row_cand`/`k_max` raise the caps when a mesh has stretched
+faces (measured agreement vs the exact backend at training scale:
+docs/DESIGN.md "Binned rasterizer approximation").
 """
 
 import functools
@@ -72,20 +73,31 @@ def _edge_plane_coeffs(tri: jax.Array) -> jax.Array:
     return jnp.stack([a0, b0, c0, a1, b1, c1, za, zb, zc], axis=-1)
 
 
-def _make_kernel(n_col_strips):
+def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False):
     """Kernel for one (batch, strip, face-chunk) instance.
 
     bounds_ref: SMEM (1, 1, 1, 2)          — live slot window [lo, hi)
-    coef_ref:   SMEM (1, 1, 9, FACE_CHUNK) — edge-plane coefficients,
-        channel-major: SMEM blocks pad the minor dim to 128 lanes, so a
-        (FACE_CHUNK, 9) layout would DMA 14x more bytes than it uses
+    coef_ref:   SMEM (1, 1, R, FACE_CHUNK) — edge-plane coefficients +
+        attribute rows, channel-major: SMEM blocks pad the minor dim to 128
+        lanes, so a (FACE_CHUNK, R) layout would DMA far more bytes than it
+        uses.  R = 9 + 3·n_lin + n_const; linear attr j occupies rows
+        9+3j..9+3j+2 as (d0, d1, c) with value = d0·w0 + d1·w1 + c
+        (d0 = A₀−A₂, d1 = A₁−A₂, c = A₂ over the face's vertex values) —
+        the ROP-style attribute interpolation a hardware rasterizer does,
+        reusing the already-computed barycentrics instead of post-raster
+        XLA gathers (which are latency-bound: 150 ms/batch at training
+        scale, docs/DESIGN.md).
     fid_ref:    SMEM (1, 1, 1, FACE_CHUNK) — original face ids
-    outputs:    VMEM (1, STRIP_ROWS, STRIP_COLS), revisited per chunk.
+    outputs:    VMEM (1, STRIP_ROWS, STRIP_COLS), revisited per chunk:
+        depth, face, b0, b1, then n_lin planes, n_const planes, and the
+        winner's (za, zb) depth-gradient planes when z_grads (for
+        gather-free normal reconstruction).
 
     Slots outside [lo, hi) hold neighbouring strips' faces (the windows are
     128-aligned) — they are masked out via a scalar broadcast into `take`.
     """
-    def kernel(bounds_ref, coef_ref, fid_ref, depth_ref, face_ref, b0_ref, b1_ref):
+    def kernel(bounds_ref, coef_ref, fid_ref, depth_ref, face_ref, b0_ref,
+               b1_ref, *attr_refs):
         ck = pl.program_id(2)
 
         @pl.when(ck == 0)
@@ -94,6 +106,8 @@ def _make_kernel(n_col_strips):
             face_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), -1, jnp.int32)
             b0_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
             b1_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+            for r in attr_refs:
+                r[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
 
         lo = bounds_ref[0, 0, 0, 0]
         hi = bounds_ref[0, 0, 0, 1]
@@ -137,6 +151,26 @@ def _make_kernel(n_col_strips):
                 face_ref[0] = jnp.where(take, fid, face_ref[0])
                 b0_ref[0] = jnp.where(take, w0, b0_ref[0])
                 b1_ref[0] = jnp.where(take, w1, b1_ref[0])
+                a = 0
+                for j in range(n_lin):
+                    val = (
+                        coef_ref[0, 0, 9 + 3 * j, k] * w0
+                        + coef_ref[0, 0, 10 + 3 * j, k] * w1
+                        + coef_ref[0, 0, 11 + 3 * j, k]
+                    )
+                    attr_refs[a][0] = jnp.where(take, val, attr_refs[a][0])
+                    a += 1
+                for j in range(n_const):
+                    c = coef_ref[0, 0, 9 + 3 * n_lin + j, k]
+                    attr_refs[a][0] = jnp.where(take, c, attr_refs[a][0])
+                    a += 1
+                if z_grads:
+                    attr_refs[a][0] = jnp.where(
+                        take, coef_ref[0, 0, 6, k], attr_refs[a][0]
+                    )
+                    attr_refs[a + 1][0] = jnp.where(
+                        take, coef_ref[0, 0, 7, k], attr_refs[a + 1][0]
+                    )
                 return 0
 
             jax.lax.fori_loop(0, FACE_CHUNK, body, 0)
@@ -144,13 +178,18 @@ def _make_kernel(n_col_strips):
     return kernel
 
 
-def _bin_faces(tri, f, h, w, k_max):
+def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
     coefs (S, K_slots, 9), overflow scalar).  K_slots = k_max + FACE_CHUNK:
     windows are 128-aligned so the leading partial chunk carries up to 127
     foreign slots masked via lo.
+
+    :param row_cand: row-strip candidates per face — faces taller than
+        row_cand·8 px are dropped (counted in overflow).  6 covers real
+        SMPL meshes at training scale with margin; raise it for meshes
+        with heavily stretched triangles (sort cost scales linearly).
     """
     n_row = h // STRIP_ROWS
     n_col = w // STRIP_COLS
@@ -175,7 +214,7 @@ def _bin_faces(tri, f, h, w, k_max):
 
     fid = jnp.arange(f, dtype=jnp.int32)
     keys, vals = [], []
-    for dr in range(_ROW_CAND):
+    for dr in range(row_cand):
         r = r0 + dr
         row_ok = (r <= r1) & (r >= 0) & (r < n_row)
         for ci, c in enumerate((c0, c1)):
@@ -197,7 +236,7 @@ def _bin_faces(tri, f, h, w, k_max):
     raw = start[1:] - start[:-1]
     counts = jnp.minimum(raw, k_max)
     overflow = jnp.maximum(raw - k_max, 0).sum()
-    overflow = overflow + ((r1 - r0 > _ROW_CAND - 1) | (c1 - c0 > 1)).sum()
+    overflow = overflow + ((r1 - r0 > row_cand - 1) | (c1 - c0 > 1)).sum()
 
     # 128-aligned window rows: row gathers are ~16x faster than elementwise
     row_lo = start[:-1] // FACE_CHUNK
@@ -211,26 +250,16 @@ def _bin_faces(tri, f, h, w, k_max):
     bounds = jnp.stack([lo, lo + counts], axis=-1)  # (S, 2)
 
     coefs = _edge_plane_coeffs(tri)  # (F, 9)
-    gathered = coefs[fids]  # (S, K_slots, 9) — fids are always in [0, F)
+    if extra_rows is not None:
+        coefs = jnp.concatenate([coefs, extra_rows], axis=-1)  # (F, 9+A)
+    gathered = coefs[fids]  # (S, K_slots, 9+A) — fids are always in [0, F)
     return bounds, fids, gathered, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "k_max"))
-def rasterize_binned(
-    verts_screen: jax.Array,
-    faces: jax.Array,
-    image_size: int,
-    k_max: int = 896,
+def _rasterize_binned_impl(
+    verts_screen, faces, image_size, k_max, row_cand,
+    lin_attrs=None, const_attrs=None, z_grads=False,
 ):
-    """Binned rasterization (same contract as rasterizer.rasterize).
-
-    :param verts_screen: (B, V, 3) screen coords (x, y, depth)
-    :param faces: (F, 3) int32 — no pre-sorting needed (binning is exact
-        per batch element)
-    :param k_max: per-strip face capacity; overflowing faces are dropped
-    :return: (Fragments, overflow) — overflow is (B,) int32 of dropped
-        (face, strip) pairs per batch element (0 at body-mesh scale).
-    """
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
     h = w = image_size
@@ -239,23 +268,50 @@ def rasterize_binned(
     n_col_strips = w // STRIP_COLS
     s = (h // STRIP_ROWS) * n_col_strips
 
+    # per-face attribute coefficient rows (see _make_kernel docstring)
+    n_lin = 0 if lin_attrs is None else lin_attrs.shape[-1]
+    n_const = 0 if const_attrs is None else const_attrs.shape[-1]
+    rows = []
+    if lin_attrs is not None:
+        av = jnp.broadcast_to(lin_attrs, (b, f, 3, n_lin))
+        d0 = av[..., 0, :] - av[..., 2, :]
+        d1 = av[..., 1, :] - av[..., 2, :]
+        c = av[..., 2, :]
+        rows.append(jnp.stack([d0, d1, c], axis=-1).reshape(b, f, 3 * n_lin))
+    if const_attrs is not None:
+        rows.append(jnp.broadcast_to(const_attrs, (b, f, n_const)))
+    extra = jnp.concatenate(rows, axis=-1) if rows else None
+    n_rows = _NCOEF + 3 * n_lin + n_const
+    n_attr_out = n_lin + n_const + (2 if z_grads else 0)
+
     tri = verts_screen[:, faces].reshape(b, f, 9)
-    bounds, fids, coefs, overflow = jax.vmap(
-        lambda t: _bin_faces(t, f, h, w, k_max)
-    )(tri)
+    if extra is None:
+        bounds, fids, coefs, overflow = jax.vmap(
+            lambda t: _bin_faces(t, f, h, w, k_max, row_cand)
+        )(tri)
+    else:
+        bounds, fids, coefs, overflow = jax.vmap(
+            lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e)
+        )(tri, extra)
 
     k_slots = k_max + FACE_CHUNK
     num_chunks = k_slots // FACE_CHUNK
     grid = (b, s, num_chunks)
-    kernel = _make_kernel(n_col_strips)
+    kernel = _make_kernel(n_col_strips, n_lin, n_const, z_grads)
     # SMEM blocks: last two dims must equal the array's — lay the (strip,
     # chunk) axes out flat so every block is a full trailing slab
     bounds_in = bounds.reshape(b, s, 1, 2)
     coefs_in = coefs.reshape(
-        b, s * num_chunks, FACE_CHUNK, _NCOEF
-    ).swapaxes(-1, -2)  # (…, 9, FACE_CHUNK) — lane-major chunks
+        b, s * num_chunks, FACE_CHUNK, n_rows
+    ).swapaxes(-1, -2)  # (…, n_rows, FACE_CHUNK) — lane-major chunks
     fids_in = fids.reshape(b, s * num_chunks, 1, FACE_CHUNK)
-    depth, face, b0, b1 = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+    ] + [jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * n_attr_out
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -264,7 +320,7 @@ def rasterize_binned(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, _NCOEF, FACE_CHUNK),
+                (1, 1, n_rows, FACE_CHUNK),
                 lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
@@ -281,18 +337,77 @@ def rasterize_binned(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        ],
+        * (4 + n_attr_out),
+        out_shape=out_shapes,
     )(bounds_in, coefs_in, fids_in)
+    depth, face, b0, b1 = outs[:4]
+    attr_planes = outs[4:]
     mask = depth < BIG_DEPTH
     face = jnp.where(mask, face, -1)
     b0 = jnp.where(mask, b0, 0.0)
     b1 = jnp.where(mask, b1, 0.0)
     bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
     bary = jnp.where(mask[..., None], bary, 0.0)
-    return Fragments(face_idx=face, bary=bary, depth=depth), overflow
+    frags = Fragments(face_idx=face, bary=bary, depth=depth)
+    planes = (
+        jnp.stack(attr_planes, axis=-1) if attr_planes else None
+    )  # (B, H, W, n_lin + n_const [+ za, zb])
+    return frags, planes, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "k_max", "row_cand"))
+def rasterize_binned(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    k_max: int = 896,
+    row_cand: int = _ROW_CAND,
+):
+    """Binned rasterization (same contract as rasterizer.rasterize).
+
+    :param verts_screen: (B, V, 3) screen coords (x, y, depth)
+    :param faces: (F, 3) int32 — no pre-sorting needed (binning is exact
+        per batch element)
+    :param k_max: per-strip face capacity; overflowing faces are dropped
+    :param row_cand: row-strip candidates per face (see _bin_faces) —
+        static; raise for meshes with faces taller than row_cand·8 px
+    :return: (Fragments, overflow) — overflow is (B,) int32 of dropped
+        (face, strip) pairs per batch element (0 at body-mesh scale).
+    """
+    frags, _, overflow = _rasterize_binned_impl(
+        verts_screen, faces, image_size, k_max, row_cand
+    )
+    return frags, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "k_max", "row_cand", "z_grads")
+)
+def rasterize_binned_with_attrs(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    lin_attrs=None,
+    const_attrs=None,
+    z_grads: bool = False,
+    k_max: int = 896,
+    row_cand: int = _ROW_CAND,
+):
+    """Binned rasterization with in-kernel (ROP-style) attribute
+    interpolation: the winner's attributes are emitted as image planes
+    during z-testing, replacing the post-raster XLA gathers that dominate
+    render time at training scale (docs/DESIGN.md).
+
+    :param lin_attrs: (B|1, F, 3, K_lin) per-face-vertex values,
+        barycentrically interpolated (u/v coords, per-vertex texel colours…)
+    :param const_attrs: (B|1, F, K_const) per-face constants (part ids…)
+    :param z_grads: also emit the winner's (za, zb) screen-space depth
+        gradients — enough to reconstruct positions and face normals
+        analytically from (x, y, depth) without any gather
+    :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow);
+        plane values are 0 on uncovered pixels.
+    """
+    return _rasterize_binned_impl(
+        verts_screen, faces, image_size, k_max, row_cand,
+        lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
+    )

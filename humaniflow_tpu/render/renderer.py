@@ -115,6 +115,15 @@ class TexturedIUVRenderer:
     # Falls back to "xla" on CPU or when img_wh isn't a multiple of 128.
     rasterizer: str = "xla"
     use_pallas: bool = False  # back-compat alias for rasterizer="tiled"
+    # binned backend: row-strip candidates per face (faces taller than
+    # row_cand·8 px are dropped; 6 covers real SMPL meshes — raise for
+    # meshes with heavily stretched faces, see binned_rasterizer.py)
+    binned_row_cand: int = 6
+    # binned backend texture filtering: "pixel" = per-pixel atlas lookup
+    # (reference semantics, one XLA gather pass); "vertex" = sample texels
+    # once per DP vertex and interpolate in-kernel (faster, loses sub-face
+    # texture detail)
+    texture_sampling: str = "pixel"
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
@@ -132,14 +141,9 @@ class TexturedIUVRenderer:
         self._silhouette_jit = jax.jit(self._render_silhouette_impl)
 
     def _rasterize(self, screen_verts):
-        """Rasterize with the configured backend (see `rasterizer` field)."""
-        if self.rasterizer == "binned":
-            from .binned_rasterizer import rasterize_binned
-
-            frags, _overflow = rasterize_binned(
-                screen_verts, self.dp["faces"], self.img_wh
-            )
-            return frags, self.dp["faces"], self.dp["face_part"]
+        """Rasterize with the configured backend (see `rasterizer` field).
+        The binned backend never reaches here — it renders through the fused
+        in-kernel-attribute path (`_render_binned_fused`)."""
         if self.rasterizer == "xla":
             return (
                 rasterize(screen_verts, self.dp["faces"], self.img_wh, chunk=self.chunk),
@@ -220,11 +224,18 @@ class TexturedIUVRenderer:
         b = vertices.shape[0]
         dp_verts = vertices[:, self.dp["vertex_map"]]  # (B, 7829, 3)
         screen = self._screen_verts(dp_verts, cam_t, orthographic_scale)
-        frags, faces, face_part = self._rasterize(screen)
-        fidx = jnp.maximum(frags.face_idx, 0)  # (B, H, W)
         want_rgb = self.render_rgb and (
             textures is not None or verts_features is not None
         )
+        if self.rasterizer == "binned":
+            # fused path: the Pallas kernel interpolates attributes in-kernel
+            # (ROP-style) — no post-raster gathers (docs/DESIGN.md)
+            return self._render_binned_fused(
+                screen, cam_t, orthographic_scale, textures,
+                lights_rgb_settings, verts_features, want_rgb,
+            )
+        frags, faces, face_part = self._rasterize(screen)
+        fidx = jnp.maximum(frags.face_idx, 0)  # (B, H, W)
 
         # ------- packed attribute lookup: the per-pixel gathers dominate the
         # post-raster cost, so all shared per-vertex attrs go through ONE
@@ -307,6 +318,152 @@ class TexturedIUVRenderer:
             rgb = jnp.clip(albedo * (ambient + diffuse), 0.0, 1.0)
             out["rgb_images"] = jnp.where(frags.mask[..., None], rgb, 0.0)
 
+        return out
+
+    def _render_binned_fused(
+        self, screen, cam_t, orthographic_scale, textures,
+        lights_rgb_settings, verts_features, want_rgb,
+    ):
+        """Fused binned-rasterizer render: attributes (UV, part id, albedo
+        source) are interpolated INSIDE the Pallas kernel and positions/
+        normals reconstructed analytically from (x, y, depth, ∂z/∂x, ∂z/∂y)
+        — zero post-raster gathers.  The round-1 gather-based resolve cost
+        ~150 ms/batch at training scale (docs/DESIGN.md)."""
+        from .binned_rasterizer import rasterize_binned_with_attrs
+
+        b = screen.shape[0]
+        faces = self.dp["faces"]
+        wh = float(self.img_wh)
+
+        uv_tri = jnp.stack([self.dp["u"], self.dp["v"]], axis=-1)[faces][None]
+        lin_parts = [jnp.broadcast_to(uv_tri, (b,) + uv_tri.shape[1:])]
+        per_pixel_tex = False
+        if want_rgb:
+            if textures is not None and self.texture_sampling == "pixel":
+                # faithful per-pixel atlas lookup (reference semantics):
+                # interpolate atlas UV in-kernel, gather texels in XLA
+                au_tri = jnp.stack(
+                    [self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1
+                )[faces][None]
+                lin_parts.append(jnp.broadcast_to(au_tri, (b,) + au_tri.shape[1:]))
+                per_pixel_tex = True
+            elif textures is not None:
+                # fast path: sample the atlas once per DP vertex and let the
+                # kernel barycentrically interpolate texels (bilinear-ish
+                # filtering; loses sub-face texture detail)
+                th, tw = textures.shape[1:3]
+                tx = jnp.round(
+                    jnp.clip(self.dp["atlas_u"] * (tw - 1), 0, tw - 1)
+                ).astype(jnp.int32)
+                ty = jnp.round(
+                    jnp.clip(self.dp["atlas_v"] * (th - 1), 0, th - 1)
+                ).astype(jnp.int32)
+                texel = jax.vmap(lambda t: t[ty, tx])(textures)  # (B, V, 3)
+                lin_parts.append(texel[:, faces])
+            else:
+                vf = (
+                    verts_features[:, self.dp["vertex_map"]]
+                    if verts_features.ndim == 3
+                    else jnp.broadcast_to(
+                        verts_features[self.dp["vertex_map"]],
+                        (b,) + verts_features[self.dp["vertex_map"]].shape,
+                    )
+                )
+                lin_parts.append(vf[:, faces])
+        lin = jnp.concatenate(lin_parts, axis=-1)
+        part_const = self.dp["face_part"].astype(jnp.float32)[None, :, None]
+
+        frags, planes, _overflow = rasterize_binned_with_attrs(
+            screen, faces, self.img_wh,
+            lin_attrs=lin, const_attrs=part_const, z_grads=want_rgb,
+            row_cand=self.binned_row_cand,
+        )
+        mask = frags.mask
+        u_px, v_px = planes[..., 0], planes[..., 1]
+        i = 2
+        if want_rgb and per_pixel_tex:
+            atlas_uv = planes[..., 2:4]
+            i = 4
+        elif want_rgb:
+            albedo = planes[..., 2:5]
+            i = 5
+        part = planes[..., i]
+        i += 1
+
+        out = {
+            "iuv_images": jnp.stack([part, u_px, v_px], axis=-1),
+            "depth_images": jnp.where(mask, frags.depth, 0.0),
+            "silhouettes": mask.astype(jnp.float32),
+        }
+        if not want_rgb:
+            return out
+
+        za, zb = planes[..., i], planes[..., i + 1]
+        if per_pixel_tex:
+            th, tw = textures.shape[1:3]
+            tx = jnp.clip(atlas_uv[..., 0] * (tw - 1), 0, tw - 1)
+            ty = jnp.clip(atlas_uv[..., 1] * (th - 1), 0, th - 1)
+            albedo = jax.vmap(
+                lambda tex, y, x: tex[
+                    jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32)
+                ]
+            )(textures, ty, tx)
+
+        # gather-free position/normal reconstruction from the depth plane
+        gx = (jnp.arange(self.img_wh, dtype=jnp.float32) + 0.5)[None, None, :]
+        gy = (jnp.arange(self.img_wh, dtype=jnp.float32) + 0.5)[None, :, None]
+        z = frags.depth
+        if self.projection_type == "perspective":
+            c = wh / 2.0
+            fl = self.focal_length
+            xc, yc = gx - c, gy - c
+            pix_pos = jnp.stack(
+                [xc * z / fl, yc * z / fl, z], axis=-1
+            ) - cam_t[:, None, None, :]
+            ddx = jnp.stack(
+                [(z + xc * za) / fl,
+                 jnp.broadcast_to(yc * za / fl, z.shape), za], axis=-1
+            )
+            ddy = jnp.stack(
+                [jnp.broadcast_to(xc * zb / fl, z.shape),
+                 (z + yc * zb) / fl, zb], axis=-1
+            )
+        else:
+            s = (
+                orthographic_scale[:, 0]
+                if orthographic_scale is not None
+                else jnp.full((b,), 0.9, jnp.float32)
+            )[:, None, None]
+            t = (
+                cam_t if cam_t is not None else jnp.zeros((b, 3), jnp.float32)
+            )[:, None, None, :]
+            x_w = (2.0 * gx / wh - 1.0) / s - t[..., 0]
+            y_w = (2.0 * gy / wh - 1.0) / s - t[..., 1]
+            k = jnp.broadcast_to(2.0 / (wh * s), z.shape)
+            zero = jnp.zeros_like(z)
+            pix_pos = jnp.stack(
+                [jnp.broadcast_to(x_w, z.shape),
+                 jnp.broadcast_to(y_w, z.shape), z - t[..., 2]], axis=-1
+            )
+            ddx = jnp.stack([k, zero, za], axis=-1)
+            ddy = jnp.stack([zero, k, zb], axis=-1)
+        normal = jnp.cross(ddx, ddy)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+        )
+
+        lights = dict(DEFAULT_LIGHTS)
+        if lights_rgb_settings is not None:
+            lights.update(lights_rgb_settings)
+        light_dir = lights["location"][:, None, None, :] - pix_pos
+        light_dir = light_dir / jnp.maximum(
+            jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-8
+        )
+        lambert = jnp.abs(jnp.sum(normal * light_dir, axis=-1, keepdims=True))
+        ambient = lights["ambient_color"][:, None, None, :]
+        diffuse = lights["diffuse_color"][:, None, None, :] * lambert
+        rgb = jnp.clip(albedo * (ambient + diffuse), 0.0, 1.0)
+        out["rgb_images"] = jnp.where(mask[..., None], rgb, 0.0)
         return out
 
     def _render_silhouette_impl(self, vertices, cam_wp):

@@ -55,3 +55,171 @@ def test_binned_matches_xla_on_body_mesh():
     db = np.asarray(fr_b.depth)[both][same]
     dx = np.asarray(fr_x.depth)[both][same]
     np.testing.assert_allclose(db, dx, atol=1e-3)
+
+
+@requires_tpu
+def test_fused_attr_render_matches_xla_path():
+    """The fused binned render (in-kernel attribute interpolation +
+    analytic position/normal reconstruction) matches the exact XLA
+    gather-based path wherever the two backends agree on the winning face
+    (IUV exactly, RGB to float noise)."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.smpl import smpl_forward
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    smpl = synthetic_smpl(num_verts=6890)
+    b = 4
+    rng = np.random.default_rng(0)
+    shape = jnp.asarray(rng.normal(size=(b, 10)), jnp.float32)
+    verts = smpl_forward(
+        smpl, shape, jnp.tile(jnp.eye(3), (b, 23, 1, 1)),
+        jnp.tile(jnp.eye(3), (b, 1, 1)),
+    )["vertices"]
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32), (b, 1))
+    tex = jnp.asarray(rng.uniform(size=(b, 1200, 800, 3)), jnp.float32)
+
+    out = {}
+    for backend in ("xla", "binned"):
+        r = TexturedIUVRenderer(
+            img_wh=256, projection_type="perspective", focal_length=300.0,
+            render_rgb=True, rasterizer=backend,
+        )
+        out[backend] = jax.tree_util.tree_map(
+            np.asarray, r(verts, cam_t=cam_t, textures=tex)
+        )
+    sil_x, sil_b = out["xla"]["silhouettes"], out["binned"]["silhouettes"]
+    assert (sil_x == sil_b).mean() > 0.999
+    # compare only where the same face won (winner flips are the rasterizer
+    # approximation, measured separately) — recover the winners with the raw
+    # rasterizers on the renderer's own screen coordinates
+    from humaniflow_tpu.render.binned_rasterizer import rasterize_binned
+    from humaniflow_tpu.render.rasterizer import (
+        project_perspective_screen,
+        rasterize,
+    )
+    from humaniflow_tpu.render.renderer import load_densepose_uv
+
+    dp = load_densepose_uv(None)
+    sv = project_perspective_screen(verts[:, dp["vertex_map"]], cam_t, 300.0, 256)
+    f_x = np.asarray(rasterize(sv, dp["faces"], 256).face_idx)
+    f_b = np.asarray(rasterize_binned(sv, dp["faces"], 256)[0].face_idx)
+    same = (f_x == f_b) & (f_x >= 0)
+    assert same.mean() > 0.1  # sanity: plenty of compared pixels
+
+    iuv_d = np.abs(out["xla"]["iuv_images"] - out["binned"]["iuv_images"])[same]
+    rgb_d = np.abs(out["xla"]["rgb_images"] - out["binned"]["rgb_images"])[same]
+    assert iuv_d.max() < 1e-3, iuv_d.max()
+    # RGB: identical up to float noise except where f32 rounding flips the
+    # nearest-texel choice at texel boundaries (random-texture neighbours
+    # differ by O(1)) — bound the flip fraction, not the max
+    assert rgb_d.mean() < 1e-3, rgb_d.mean()
+    assert (rgb_d > 2e-2).mean() < 2e-3, (rgb_d > 2e-2).mean()
+
+
+@requires_tpu
+def test_binned_agreement_at_training_scale():
+    """Quantified approximation at the real training configuration (B=72,
+    256², 13774 faces, posed bodies): raw rasterizer agreement AND the
+    label-level impact on the synthetic-data pipeline (joint-visibility
+    flips from occlusion checks, crop-induced keypoint shifts).  Measured
+    numbers are recorded in docs/DESIGN.md (VERDICT r1 item 9)."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.smpl import smpl_forward
+    from humaniflow_tpu.ops.so3 import so3_exp
+    from humaniflow_tpu.render.binned_rasterizer import rasterize_binned
+    from humaniflow_tpu.render.rasterizer import (
+        project_perspective_screen,
+        rasterize,
+    )
+    from humaniflow_tpu.render.renderer import load_densepose_uv
+
+    smpl = synthetic_smpl(num_verts=6890)
+    dp = load_densepose_uv(None)
+    b = 72
+    rng = np.random.default_rng(0)
+    pose_aa = jnp.asarray(rng.normal(scale=0.3, size=(b, 23, 3)), jnp.float32)
+    glob_aa = jnp.asarray(rng.normal(scale=0.5, size=(b, 3)), jnp.float32)
+    shape = jnp.asarray(rng.normal(size=(b, 10)), jnp.float32)
+    verts = smpl_forward(smpl, shape, so3_exp(pose_aa), so3_exp(glob_aa))["vertices"]
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32), (b, 1))
+    sv = project_perspective_screen(verts[:, dp["vertex_map"]], cam_t, 300.0, 256)
+
+    fr_x = rasterize(sv, dp["faces"], 256)
+    m_x = np.asarray(fr_x.mask)
+    face_part = np.asarray(dp["face_part"])
+
+    def agreement(row_cand, k_max):
+        fr_b, overflow = rasterize_binned(
+            sv, dp["faces"], 256, k_max=k_max, row_cand=row_cand
+        )
+        m_b = np.asarray(fr_b.mask)
+        both = m_b & m_x
+        fb = np.asarray(fr_b.face_idx)[both]
+        fx = np.asarray(fr_x.face_idx)[both]
+        stats = (
+            (m_b == m_x).mean(),
+            (fb == fx).mean(),
+            (face_part[fb] == face_part[fx]).mean(),
+            int(np.asarray(overflow).sum()),
+        )
+        print(
+            f"\n[binned@train-scale rc={row_cand} k={k_max}] "
+            f"mask={stats[0]:.6f} winner={stats[1]:.4f} part={stats[2]:.4f} "
+            f"overflow={stats[3]}"
+        )
+        return stats
+
+    # NOTE: the synthetic test mesh's soft LBS weights stretch triangles far
+    # beyond real SMPL under these poses (1.2% of faces taller than 48 px vs
+    # ~none for real meshes, docs/DESIGN.md) — this is a worst-case bound,
+    # not the real-mesh agreement (~100% mask / 98.9% winner at rest pose).
+    mask_d, _, part_d, _ = agreement(6, 896)  # training defaults
+    assert mask_d > 0.99
+    assert part_d > 0.94
+    # capacity knobs recover near-exact agreement even on the stretched mesh
+    mask_hi, _, part_hi, _ = agreement(12, 1536)
+    assert mask_hi > 0.999
+    assert part_hi > 0.99
+
+    # ---- label-level impact: full synth-data pipeline with each backend
+    # under the SAME key — count joint-visibility flips (occlusion checks on
+    # the rendered seg) and keypoint shifts from seg-bbox crop differences
+    from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
+    from humaniflow_tpu.pipelines.train import make_synth_data_fn
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    cfg = get_humaniflow_cfg_defaults()
+    pose72 = jnp.concatenate([glob_aa, pose_aa.reshape(b, 69)], axis=-1)
+    texture = jnp.asarray(rng.uniform(size=(b, 1200, 800, 3)), jnp.float32)
+    background = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    batches = {}
+    for backend in ("xla", "binned"):
+        renderer = TexturedIUVRenderer(
+            img_wh=256, projection_type="perspective",
+            focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
+            rasterizer=backend,
+        )
+        synth = make_synth_data_fn(cfg, smpl, renderer)
+        batches[backend] = jax.tree_util.tree_map(
+            np.asarray, synth(key, pose72, texture, background)
+        )
+
+    vis_x = batches["xla"]["joints2D_vis"]
+    vis_b = batches["binned"]["joints2D_vis"]
+    flip_rate = (vis_x != vis_b).mean()
+    j2d_shift = np.abs(
+        batches["xla"]["joints2D"] - batches["binned"]["joints2D"]
+    ).mean()
+    proxy_diff = (
+        np.abs(batches["xla"]["proxy"] - batches["binned"]["proxy"]) > 0.1
+    ).mean()
+    print(
+        f"[binned@train-scale] vis_flip_rate={flip_rate:.5f} "
+        f"mean_j2d_shift_px={j2d_shift:.3f} proxy_pixel_diff={proxy_diff:.5f}"
+    )
+    # visibility labels flip on well under 1% of joints; keypoint targets
+    # shift by well under a pixel on average
+    assert flip_rate < 0.01
+    assert j2d_shift < 1.0
