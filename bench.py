@@ -99,9 +99,11 @@ def bench_inference(cfg, model, params, smpl):
                 out["glob_rotmat"][:, None], (b, NUM_SAMPLES, 3, 3)
             ).reshape(b * NUM_SAMPLES, 3, 3),
         )
-        verts = flat["vertices"].reshape(b, NUM_SAMPLES, NUM_VERTS, 3)
+        # channel-major verts skip the (B·N, 3, V)→(B·N, V, 3) relayout —
+        # the variance reduction is layout-agnostic
+        verts = flat["vertices_cm"].reshape(b, NUM_SAMPLES, 3, NUM_VERTS)
         mean = verts.mean(axis=1, keepdims=True)
-        vertex_var = ((verts - mean) ** 2).mean(axis=1).sum(axis=-1)  # (B, V)
+        vertex_var = ((verts - mean) ** 2).mean(axis=1).sum(axis=1)  # (B, V)
         point_est = smpl_forward(
             smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
         )

@@ -34,28 +34,26 @@ def _lbs_kernel(a_ref, w_ref, posed_ref, out_ref):
     w_ref:     (24, VERT_TILE)       — skinning weights, transposed
     posed_ref: (BATCH_BLOCK, 4, VERT_TILE) — posed verts (x, y, z, pad)
     out_ref:   (BATCH_BLOCK, 4, VERT_TILE) — skinned verts (x, y, z, pad)
+
+    All work runs on full (BATCH_BLOCK, VERT_TILE) planes: one MXU dot per
+    transform row r gives mt_r = A[:, r, :] @ W (BB, VT), and the apply is
+    12 plane FMAs — no per-sample loop (the round-1 kernel looped
+    BATCH_BLOCK times over (1, VT) rows, wasting 31/32 sublanes).
     """
     w = w_ref[:]  # (24, VT)
-    for bi in range(BATCH_BLOCK):
-        mt = jnp.dot(
-            a_ref[bi], w,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # rotations must stay f32
-        )  # (12, VT)
-        px = posed_ref[bi, 0:1, :]
-        py = posed_ref[bi, 1:2, :]
-        pz = posed_ref[bi, 2:3, :]
-        # row layout of A: [r00 r01 r02 r10 r11 r12 r20 r21 r22 t0 t1 t2]
-        out_ref[bi, 0:1, :] = (
-            mt[0:1] * px + mt[1:2] * py + mt[2:3] * pz + mt[9:10]
-        )
-        out_ref[bi, 1:2, :] = (
-            mt[3:4] * px + mt[4:5] * py + mt[5:6] * pz + mt[10:11]
-        )
-        out_ref[bi, 2:3, :] = (
-            mt[6:7] * px + mt[7:8] * py + mt[8:9] * pz + mt[11:12]
-        )
-        out_ref[bi, 3:4, :] = jnp.zeros_like(px)
+    hi = jax.lax.Precision.HIGHEST  # rotations must stay f32
+    mt = [
+        jnp.dot(a_ref[:, r, :], w, preferred_element_type=jnp.float32, precision=hi)
+        for r in range(12)
+    ]  # 12 × (BB, VT)
+    px = posed_ref[:, 0, :]
+    py = posed_ref[:, 1, :]
+    pz = posed_ref[:, 2, :]
+    # row layout of A: [r00 r01 r02 r10 r11 r12 r20 r21 r22 t0 t1 t2]
+    out_ref[:, 0, :] = mt[0] * px + mt[1] * py + mt[2] * pz + mt[9]
+    out_ref[:, 1, :] = mt[3] * px + mt[4] * py + mt[5] * pz + mt[10]
+    out_ref[:, 2, :] = mt[6] * px + mt[7] * py + mt[8] * pz + mt[11]
+    out_ref[:, 3, :] = jnp.zeros_like(px)
 
 
 @jax.custom_vjp
@@ -113,6 +111,165 @@ def lbs_skin_pallas_cm(
         out_shape=jax.ShapeDtypeStruct((bp, 4, vp), jnp.float32),
     )(a_t, w_t, posed_t)
     return out[:b, :3, :v]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused SMPL vertex kernel: blendshapes + skinning in one pass.
+#
+# The split pipeline materialises v_shaped, pose_offsets, v_posed and the
+# skinned verts as separate (B, 3, V) HBM tensors (265 MB each at B·N=3200)
+# — the whole SMPL forward is HBM-bound (~13.5 ms).  This kernel computes
+#   verts = LBS(W, A, v_template + shapedirs·β + posedirs·θ)
+# per (vertex-tile, batch-block) instance entirely in VMEM and writes ONLY
+# the final vertices.  The grid iterates batch innermost so the per-tile
+# model weights (posedirs/shapedirs/template/skinning tiles, index depends
+# only on the vertex tile) stay resident across batch blocks.
+
+FUSED_BATCH_BLOCK = 128
+FUSED_VERT_TILE = 512
+
+
+# MXU precision for the fused kernel's f32 dots (Mosaic supports DEFAULT =
+# 1 bf16 pass and HIGHEST = 6 passes only).  Measured against an f64 oracle
+# at B·N=3200: HIGHEST/HIGHEST → 0.0006 mm max vertex error @ 7.3 ms;
+# DEFAULT on the blendshape dots alone already costs 0.64 mm (the whole
+# <0.5 mm PVE parity budget), DEFAULT on the transform rows 12 mm.  Keep
+# both HIGHEST — the speed lever here is fusion (HBM traffic), not passes.
+_MT_PRECISION = jax.lax.Precision.HIGHEST
+_BLEND_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _smpl_verts_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref, pd_ref, out_ref):
+    """One (vertex-tile, batch-block) instance.
+
+    beta_ref: (BB, NB)        — shape coefficients
+    pf_ref:   (BB, 207)       — pose features (R − I, non-root joints)
+    a_ref:    (BB, 12, 24)    — per-joint [R|t] rows, transposed
+    w_ref:    (24, VT)        — skinning weights, transposed
+    vt_ref:   (4, VT)         — template vertices (x, y, z, pad rows)
+    sd_ref:   (NB, 4, VT)     — shape blendshape dirs, channel-planes
+    pd_ref:   (207, 4, VT)    — pose blendshape dirs, channel-planes
+    out_ref:  (BB, 4, VT)     — skinned vertices
+    """
+    w = w_ref[:]
+    mt = [
+        jnp.dot(a_ref[:, r, :], w, preferred_element_type=jnp.float32,
+                precision=_MT_PRECISION)
+        for r in range(12)
+    ]
+    p = []
+    for c in range(3):
+        pc = (
+            vt_ref[c, :][None, :]
+            + jnp.dot(beta_ref[:], sd_ref[:, c, :],
+                      preferred_element_type=jnp.float32,
+                      precision=_BLEND_PRECISION)
+            + jnp.dot(pf_ref[:], pd_ref[:, c, :],
+                      preferred_element_type=jnp.float32,
+                      precision=_BLEND_PRECISION)
+        )
+        p.append(pc)
+    out_ref[:, 0, :] = mt[0] * p[0] + mt[1] * p[1] + mt[2] * p[2] + mt[9]
+    out_ref[:, 1, :] = mt[3] * p[0] + mt[4] * p[1] + mt[5] * p[2] + mt[10]
+    out_ref[:, 2, :] = mt[6] * p[0] + mt[7] * p[1] + mt[8] * p[2] + mt[11]
+    out_ref[:, 3, :] = jnp.zeros_like(p[0])
+
+
+@jax.custom_vjp
+def smpl_verts_fused(
+    lbs_weights: jax.Array,   # (V, 24)
+    a12: jax.Array,           # (B, 24, 12)
+    betas: jax.Array,         # (B, NB)
+    pose_feature: jax.Array,  # (B, 207)
+    v_template_cm: jax.Array,  # (3, V)
+    shapedirs_cm: jax.Array,   # (3, V, NB)
+    posedirs: jax.Array,       # (207, V*3) with (v, c)-major columns
+) -> jax.Array:
+    """Fused SMPL vertex computation on TPU: returns (B, 3, V) skinned verts.
+
+    HBM traffic ≈ read(model tiles once) + write(final verts) — the
+    streaming minimum; every (B, 3, V) intermediate of the split pipeline
+    lives only in VMEM.
+    """
+    b = betas.shape[0]
+    v = v_template_cm.shape[1]
+    nb = betas.shape[1]
+    pad_b = (-b) % FUSED_BATCH_BLOCK
+    pad_v = (-v) % FUSED_VERT_TILE
+    bp, vp = b + pad_b, v + pad_v
+
+    w_t = jnp.pad(lbs_weights, ((0, pad_v), (0, 0))).T              # (24, Vp)
+    a_t = jnp.pad(jnp.swapaxes(a12, 1, 2), ((0, pad_b), (0, 0), (0, 0)))
+    beta_p = jnp.pad(betas, ((0, pad_b), (0, 0)))
+    pf_p = jnp.pad(pose_feature, ((0, pad_b), (0, 0)))
+    vt4 = jnp.pad(v_template_cm, ((0, 1), (0, pad_v)))              # (4, Vp)
+    sd4 = jnp.pad(
+        jnp.transpose(shapedirs_cm, (2, 0, 1)), ((0, 0), (0, 1), (0, pad_v))
+    )  # (NB, 4, Vp)
+    pd4 = jnp.pad(
+        posedirs.reshape(-1, v, 3).transpose(0, 2, 1), ((0, 0), (0, 1), (0, pad_v))
+    )  # (207, 4, Vp)
+
+    grid = (vp // FUSED_VERT_TILE, bp // FUSED_BATCH_BLOCK)  # batch innermost
+    out = pl.pallas_call(
+        _smpl_verts_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((FUSED_BATCH_BLOCK, nb), lambda vi, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FUSED_BATCH_BLOCK, 207), lambda vi, bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FUSED_BATCH_BLOCK, 12, 24), lambda vi, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, FUSED_VERT_TILE), lambda vi, bi: (0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, FUSED_VERT_TILE), lambda vi, bi: (0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 4, FUSED_VERT_TILE), lambda vi, bi: (0, 0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((207, 4, FUSED_VERT_TILE), lambda vi, bi: (0, 0, vi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (FUSED_BATCH_BLOCK, 4, FUSED_VERT_TILE),
+            lambda vi, bi: (bi, 0, vi), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, 4, vp), jnp.float32),
+    )(beta_p, pf_p, a_t, w_t, vt4, sd4, pd4)
+    return out[:b, :3, :v]
+
+
+def _fused_fwd(w, a12, betas, pf, vt, sd, pd):
+    return smpl_verts_fused(w, a12, betas, pf, vt, sd, pd), (
+        w, a12, betas, pf, vt, sd, pd,
+    )
+
+
+def _fused_bwd(res, g):
+    """Exact adjoints via XLA einsums (training runs at B≈72 where the
+    (B, ·, V) intermediates are small; the B·N=3200 inference path never
+    differentiates)."""
+    w, a12, betas, pf, vt, sd, pd = res
+    hi = jax.lax.Precision.HIGHEST
+    v = vt.shape[1]
+    # recompute the posed vertices (cheap at training batch)
+    pd_cm = pd.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
+    p = (
+        vt
+        + jnp.einsum("bl,cvl->bcv", betas, sd, precision=hi)
+        + jnp.matmul(pf, pd_cm, precision=hi).reshape(-1, 3, v)
+    )
+    dw, da, dp = _lbs_bwd((w, a12, p), g)
+    dbetas = jnp.einsum("bcv,cvl->bl", dp, sd, precision=hi)
+    dpf = jnp.matmul(dp.reshape(dp.shape[0], -1), pd_cm.T, precision=hi)
+    dvt = jnp.sum(dp, axis=0)
+    dsd = jnp.einsum("bcv,bl->cvl", dp, betas, precision=hi)
+    dpd_cm = jnp.einsum("bk,bcv->kcv", pf, dp, precision=hi)
+    dpd = dpd_cm.transpose(0, 2, 1).reshape(pd.shape)
+    return dw, da, dbetas, dpf, dvt, dsd, dpd
+
+
+smpl_verts_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _lbs_fwd(lbs_weights, a12, v_posed_cm):

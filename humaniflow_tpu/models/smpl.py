@@ -291,44 +291,50 @@ def smpl_forward(
     rot_mats = jnp.concatenate([global_orient[:, None], body_pose], axis=1)  # (B,24,3,3)
 
     # ----- channel-major internals: all big vertex tensors travel as
-    # (B, 3, V) so the fused LBS kernel consumes them with NO transposes of
+    # (B, 3, V) so the fused kernel consumes them with NO transposes of
     # batch-sized data (model arrays are tiny; transposing them per trace is
     # free and constant-folded under jit).
     shapedirs_cm = jnp.transpose(model.shapedirs, (1, 0, 2))      # (3, V, nb)
     v_template_cm = model.v_template.T                            # (3, V)
-    posedirs_cm = (
-        model.posedirs.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
-    )  # (207, 3V) channel-major columns
 
-    # Shape blendshapes
-    v_shaped_cm = v_template_cm + jnp.einsum(
-        "bl,cvl->bcv", betas, shapedirs_cm, precision=hi
-    )  # (B, 3, V)
-    joints_rest = jnp.einsum(
-        "jv,bcv->bjc", model.j_regressor, v_shaped_cm, precision=hi
+    # Rest joints WITHOUT materialising v_shaped: fold the joint regressor
+    # through the template and the shape dirs (exact contraction reorder —
+    # j_reg @ (vt + sd·β) = (j_reg @ vt) + (j_reg @ sd)·β; both factors are
+    # model constants).
+    jt = jnp.einsum("jv,cv->jc", model.j_regressor, v_template_cm, precision=hi)
+    jsd = jnp.einsum(
+        "jv,cvl->jcl", model.j_regressor, shapedirs_cm, precision=hi
     )
+    joints_rest = jt[None] + jnp.einsum("bl,jcl->bjc", betas, jsd, precision=hi)
 
-    # Pose-corrective blendshapes from non-root rotations
     eye = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - eye).reshape(b, -1)  # (B, 207)
-    pose_offsets_cm = jnp.matmul(pose_feature, posedirs_cm, precision=hi).reshape(
-        b, 3, v
-    )
-    v_posed_cm = v_shaped_cm + pose_offsets_cm
 
-    # Kinematic chain + LBS.  Per-joint transforms packed as (B, 24, 12)
-    # rows [R | t]; skinning runs through the fused Pallas kernel on TPU
-    # (no (B, V, 12)/(B, V, 4, 4) materialisation — streaming-minimum HBM
-    # traffic) with an equivalent XLA contraction elsewhere.
+    # Kinematic chain + fused blendshapes+LBS.  Per-joint transforms packed
+    # as (B, 24, 12) rows [R | t]; on TPU the entire vertex computation
+    # (template + shape/pose blendshapes + skinning) is ONE Pallas kernel —
+    # no (B, 3, V) intermediate ever reaches HBM (models/pallas_lbs.py).
     posed_joints, world_R, rel_t = _rigid_transform_chain(rot_mats, joints_rest)
     a12 = jnp.concatenate(
         [world_R.reshape(b, NUM_SMPL_JOINTS, 9), rel_t], axis=-1
     )  # (B, 24, 12)
     if jax.default_backend() != "cpu":
-        from .pallas_lbs import lbs_skin_pallas_cm
+        from .pallas_lbs import smpl_verts_fused
 
-        verts_cm = lbs_skin_pallas_cm(model.lbs_weights, a12, v_posed_cm)
+        verts_cm = smpl_verts_fused(
+            model.lbs_weights, a12, betas, pose_feature,
+            v_template_cm, shapedirs_cm, model.posedirs,
+        )
     else:
+        posedirs_cm = (
+            model.posedirs.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
+        )  # (207, 3V) channel-major columns
+        v_shaped_cm = v_template_cm + jnp.einsum(
+            "bl,cvl->bcv", betas, shapedirs_cm, precision=hi
+        )
+        v_posed_cm = v_shaped_cm + jnp.matmul(
+            pose_feature, posedirs_cm, precision=hi
+        ).reshape(b, 3, v)
         t12 = jnp.einsum("vj,bjc->bcv", model.lbs_weights, a12, precision=hi)
         # t12 channels: rows of [R|t] — apply 3x3 + t per channel
         verts_cm = jnp.stack(
@@ -360,6 +366,10 @@ def smpl_forward(
     regressed = jnp.einsum("jv,bcv->bjc", combined, verts_cm, precision=hi)
     return {
         "vertices": jnp.swapaxes(verts_cm, 1, 2),  # (B, V, 3) for consumers
+        # channel-major view for reduction-only consumers (per-vertex
+        # variance etc.) — skips the 265 MB (B,3,V)→(B,V,3) relayout when
+        # "vertices" goes unused (XLA DCEs the transpose)
+        "vertices_cm": verts_cm,
         "joints": jnp.concatenate([posed_joints, regressed], axis=1),
         "smpl_joints": posed_joints,
     }

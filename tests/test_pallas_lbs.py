@@ -44,3 +44,93 @@ def test_pallas_lbs_matches_xla():
     )
     assert got.shape == (b, 3, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@requires_tpu
+def test_smpl_verts_fused_matches_split_pipeline():
+    """Fully-fused blendshapes+skinning kernel vs the split XLA math
+    (template + shape/pose blendshapes + skinning as separate HBM tensors).
+    Precision study vs an f64 oracle lives in pallas_lbs.py's notes:
+    HIGHEST/HIGHEST is 0.0006 mm max vertex error at B·N=3200."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.pallas_lbs import smpl_verts_fused
+
+    hi = jax.lax.Precision.HIGHEST
+    smpl = synthetic_smpl(num_verts=6890)
+    b, v = 150, 6890  # not multiples of the fused block sizes
+    rng = np.random.default_rng(2)
+    a12 = jnp.asarray(rng.normal(scale=0.5, size=(b, 24, 12)), jnp.float32)
+    betas = jnp.asarray(rng.normal(size=(b, 10)), jnp.float32)
+    pf = jnp.asarray(rng.normal(scale=0.3, size=(b, 207)), jnp.float32)
+    sd = jnp.transpose(smpl.shapedirs, (1, 0, 2))
+    vt = smpl.v_template.T
+
+    got = smpl_verts_fused(smpl.lbs_weights, a12, betas, pf, vt, sd, smpl.posedirs)
+
+    pd_cm = smpl.posedirs.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
+    posed = (
+        vt
+        + jnp.einsum("bl,cvl->bcv", betas, sd, precision=hi)
+        + jnp.matmul(pf, pd_cm, precision=hi).reshape(b, 3, v)
+    )
+    t12 = jnp.einsum("vj,bjc->bcv", smpl.lbs_weights, a12, precision=hi)
+    want = jnp.stack(
+        [
+            t12[:, 3 * i] * posed[:, 0]
+            + t12[:, 3 * i + 1] * posed[:, 1]
+            + t12[:, 3 * i + 2] * posed[:, 2]
+            + t12[:, 9 + i]
+            for i in range(3)
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+@requires_tpu
+def test_smpl_verts_fused_gradients():
+    """The custom VJP's XLA adjoints match autodiff of the split math."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.pallas_lbs import smpl_verts_fused
+
+    hi = jax.lax.Precision.HIGHEST
+    smpl = synthetic_smpl(num_verts=6890)
+    b, v = 8, 6890
+    rng = np.random.default_rng(3)
+    a12 = jnp.asarray(rng.normal(scale=0.5, size=(b, 24, 12)), jnp.float32)
+    betas = jnp.asarray(rng.normal(size=(b, 10)), jnp.float32)
+    pf = jnp.asarray(rng.normal(scale=0.3, size=(b, 207)), jnp.float32)
+    sd = jnp.transpose(smpl.shapedirs, (1, 0, 2))
+    vt = smpl.v_template.T
+    cot = jnp.asarray(rng.normal(size=(b, 3, v)), jnp.float32)
+
+    def fused(a, be, p):
+        return jnp.sum(
+            smpl_verts_fused(smpl.lbs_weights, a, be, p, vt, sd, smpl.posedirs) * cot
+        )
+
+    pd_cm = smpl.posedirs.reshape(-1, v, 3).transpose(0, 2, 1).reshape(-1, 3 * v)
+
+    def split(a, be, p):
+        posed = (
+            vt
+            + jnp.einsum("bl,cvl->bcv", be, sd, precision=hi)
+            + jnp.matmul(p, pd_cm, precision=hi).reshape(b, 3, v)
+        )
+        t12 = jnp.einsum("vj,bjc->bcv", smpl.lbs_weights, a, precision=hi)
+        out = jnp.stack(
+            [
+                t12[:, 3 * i] * posed[:, 0]
+                + t12[:, 3 * i + 1] * posed[:, 1]
+                + t12[:, 3 * i + 2] * posed[:, 2]
+                + t12[:, 9 + i]
+                for i in range(3)
+            ],
+            axis=1,
+        )
+        return jnp.sum(out * cot)
+
+    g_fused = jax.jit(jax.grad(fused, argnums=(0, 1, 2)))(a12, betas, pf)
+    g_split = jax.jit(jax.grad(split, argnums=(0, 1, 2)))(a12, betas, pf)
+    for gf, gs in zip(g_fused, g_split):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), rtol=1e-4, atol=1e-4)
