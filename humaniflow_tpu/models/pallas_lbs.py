@@ -129,14 +129,22 @@ FUSED_BATCH_BLOCK = 128
 FUSED_VERT_TILE = 512
 
 
-# MXU precision for the fused kernel's f32 dots (Mosaic supports DEFAULT =
-# 1 bf16 pass and HIGHEST = 6 passes only).  Measured against an f64 oracle
-# at B·N=3200: HIGHEST/HIGHEST → 0.0006 mm max vertex error @ 7.3 ms;
-# DEFAULT on the blendshape dots alone already costs 0.64 mm (the whole
-# <0.5 mm PVE parity budget), DEFAULT on the transform rows 12 mm.  Keep
-# both HIGHEST — the speed lever here is fusion (HBM traffic), not passes.
-_MT_PRECISION = jax.lax.Precision.HIGHEST
-_BLEND_PRECISION = jax.lax.Precision.HIGHEST
+# f32 dot precision for the fused kernel, all measured against an f64
+# oracle at B·N=3200 (Mosaic exposes DEFAULT = 1 bf16 MXU pass and
+# HIGHEST = 6):
+#   HIGHEST            7.3 ms   0.0006 mm max vertex error   <- used
+#   manual bf16x3      9.2 ms   0.035 mm  (per-dot issue overhead of 3x the
+#                                          dot count eats the pass savings)
+#   DEFAULT            4.4 ms   0.64 mm from the blendshape dots alone (the
+#                               whole <0.5 mm PVE budget); 12 mm with
+#                               DEFAULT transform rows - unusable
+# The speed lever here is fusion (HBM traffic), not matmul passes.
+
+
+def _dot3(a, b):
+    """Kernel dot at the validated precision (see table above)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _smpl_verts_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref, pd_ref, out_ref):
@@ -152,21 +160,13 @@ def _smpl_verts_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref, pd_ref, o
     out_ref:  (BB, 4, VT)     — skinned vertices
     """
     w = w_ref[:]
-    mt = [
-        jnp.dot(a_ref[:, r, :], w, preferred_element_type=jnp.float32,
-                precision=_MT_PRECISION)
-        for r in range(12)
-    ]
+    mt = [_dot3(a_ref[:, r, :], w) for r in range(12)]
     p = []
     for c in range(3):
         pc = (
             vt_ref[c, :][None, :]
-            + jnp.dot(beta_ref[:], sd_ref[:, c, :],
-                      preferred_element_type=jnp.float32,
-                      precision=_BLEND_PRECISION)
-            + jnp.dot(pf_ref[:], pd_ref[:, c, :],
-                      preferred_element_type=jnp.float32,
-                      precision=_BLEND_PRECISION)
+            + _dot3(beta_ref[:], sd_ref[:, c, :])
+            + _dot3(pf_ref[:], pd_ref[:, c, :])
         )
         p.append(pc)
     out_ref[:, 0, :] = mt[0] * p[0] + mt[1] * p[1] + mt[2] * p[2] + mt[9]

@@ -211,17 +211,19 @@ def _convex_rows(rng, rows: int, cols: int) -> np.ndarray:
     return w / w.sum(axis=1, keepdims=True)
 
 
-# Kinematic-tree depth levels over all 24 joints (root at level 0): joints
-# at the same depth compose against already-finished parents, so the chain
-# runs in max-depth (8) steps of batched (R, t) composition instead of 23
-# sequential 4x4 matmuls.
-_depth = {0: 0}
-for _j in range(1, NUM_SMPL_JOINTS):
-    _depth[_j] = _depth[SMPL_PARENTS[_j]] + 1
-_JOINT_LEVELS = [
-    tuple(j for j in range(NUM_SMPL_JOINTS) if _depth[j] == d)
-    for d in range(max(_depth.values()) + 1)
-]
+def _mat3mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched 3×3 matmul as fused elementwise ops: (…, 3, 3) × (…, 3, 3).
+
+    einsum/dot on (B, 3, 3) operands hits the MXU with 3-wide dims —
+    padding-dominated AND (at the HIGHEST precision rotations need) 6
+    passes each; the broadcast-multiply-reduce form stays on the VPU in
+    full f32 and fuses into the surrounding graph."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _mat3vec(a: jax.Array, v: jax.Array) -> jax.Array:
+    """(…, 3, 3) × (…, 3) batched matvec, elementwise."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
 
 
 def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):
@@ -229,41 +231,28 @@ def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):
     LBS-relative transforms as (R (B,24,3,3), t (B,24,3)) pairs (no 4x4
     homogeneous matrices — smplx lbs.batch_rigid_transform equivalent).
 
+    Each joint composes against its (statically known) parent via plain
+    axis-1 slices and fused elementwise 3×3 arithmetic — no scatter, no
+    gather, no MXU.  (The round-1 version ran ~10 one-hot HIGHEST einsums
+    per tree level: 2.3 ms at B·N=3200 for microscopic FLOPs; this form is
+    a few fused VPU kernels.)
+
     :param rot_mats: (B, 24, 3, 3); :param joints: (B, 24, 3) rest joints.
     :return: (posed_joints (B,24,3), rel_R (B,24,3,3), rel_t (B,24,3))
     """
-    hi = jax.lax.Precision.HIGHEST
-    b = rot_mats.shape[0]
-    parents = np.asarray(SMPL_PARENTS[1:])
-    rel_joints = joints.at[:, 1:].add(-joints[:, list(parents)])
-
-    world_R = jnp.zeros_like(rot_mats)
-    world_t = jnp.zeros_like(joints)
-    world_R = world_R.at[:, 0].set(rot_mats[:, 0])
-    world_t = world_t.at[:, 0].set(rel_joints[:, 0])
-    eye24 = np.eye(NUM_SMPL_JOINTS, dtype=np.float32)
-    for level in _JOINT_LEVELS[1:]:
-        lv = np.asarray(level)
-        par = np.asarray([SMPL_PARENTS[j] for j in level])
-        # gather-free parent select (one-hot matmul) + level compose
-        sel_p = jnp.asarray(eye24[par])              # (L, 24)
-        pr = jnp.einsum("lj,bjik->blik", sel_p, world_R, precision=hi)
-        pt = jnp.einsum("lj,bjk->blk", sel_p, world_t, precision=hi)
-        lr = jnp.einsum("lj,bjik->blik", jnp.asarray(eye24[lv]), rot_mats, precision=hi)
-        lt = jnp.einsum("lj,bjk->blk", jnp.asarray(eye24[lv]), rel_joints, precision=hi)
-        new_R = jnp.einsum("blik,blkm->blim", pr, lr, precision=hi)
-        new_t = jnp.einsum("blik,blk->bli", pr, lt, precision=hi) + pt
-        cov = jnp.asarray(eye24[lv].sum(0))          # (24,)
-        world_R = world_R * (1.0 - cov[:, None, None]) + jnp.einsum(
-            "blik,lj->bjik", new_R, jnp.asarray(eye24[lv]), precision=hi
-        )
-        world_t = world_t * (1.0 - cov[:, None]) + jnp.einsum(
-            "blk,lj->bjk", new_t, jnp.asarray(eye24[lv]), precision=hi
-        )
+    world_R = [rot_mats[:, 0]]
+    world_t = [joints[:, 0]]
+    for j in range(1, NUM_SMPL_JOINTS):
+        p = int(SMPL_PARENTS[j])
+        rel_j = joints[:, j] - joints[:, p]
+        world_R.append(_mat3mul(world_R[p], rot_mats[:, j]))
+        world_t.append(_mat3vec(world_R[p], rel_j) + world_t[p])
+    world_R = jnp.stack(world_R, axis=1)
+    world_t = jnp.stack(world_t, axis=1)
 
     posed_joints = world_t
     # Relative transform: subtract the rest-pose joint contribution.
-    rel_t = world_t - jnp.einsum("bjik,bjk->bji", world_R, joints, precision=hi)
+    rel_t = world_t - _mat3vec(world_R, joints)
     return posed_joints, world_R, rel_t
 
 
