@@ -19,7 +19,6 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 from ..configs.defaults import HumaniflowConfig
-from .label_conversions import convert_2d_joints_to_gaussian_heatmaps
 
 
 class OnTheFlySMPLTrainDataset:
@@ -139,7 +138,6 @@ class SSP3DEvalDataset:
         self.bbox_whs = data["bbox_whs"]
         self.genders = data["genders"]
         self.img_wh = config.DATA.PROXY_REP_SIZE
-        self.hmaps_std = config.DATA.HEATMAP_GAUSSIAN_STD
         self.bbox_scale_factor = config.DATA.BBOX_SCALE_FACTOR
         self.visible_joints_threshold = visible_joints_threshold
 
@@ -159,27 +157,29 @@ class SSP3DEvalDataset:
             self.img_wh, self.bbox_scale_factor,
         )
         kp = keypoints[:, :2] * scale + trans
-        heatmaps = np.asarray(
-            convert_2d_joints_to_gaussian_heatmaps(
-                kp.astype(np.int16)[None], self.img_wh, std=self.hmaps_std
-            )[0]
-        )  # (17, wh, wh)
         if self.visible_joints_threshold is not None:
             vis = conf > self.visible_joints_threshold
             vis[[0, 1, 2, 3, 4, 5, 6, 11, 12]] = True  # appendages only (:66)
-            heatmaps = heatmaps * vis[:, None, None]
+        else:
+            vis = np.ones(kp.shape[0], bool)
 
         silhouette = cv2.imread(os.path.join(self.silhouettes_dir, fname), 0)
         silhouette, _, _ = _crop_rgb_np(
             silhouette, self.bbox_centres[index], self.bbox_whs[index],
             self.img_wh, self.bbox_scale_factor,
         )
+        # image as uint8 and keypoints instead of pre-built heatmaps: the
+        # eval step normalises and synthesizes heatmaps ON DEVICE — a
+        # 256²-batch payload drops from ~170 MB to ~8 MB (pipelines/
+        # evaluate.py), which dominated eval wall-clock through the device
+        # tunnel.  Same int16-truncated coordinates as the host build.
         return {
-            "image": (image / 255.0).astype(np.float32),        # (wh, wh, 3)
-            "heatmaps": heatmaps.astype(np.float32),             # (17, wh, wh)
+            "image": np.ascontiguousarray(image),                # (wh, wh, 3) uint8
+            "input_joints2D": kp.astype(np.int16).astype(np.float32),
+            "input_joints2D_vis": vis,
             "shape": self.body_shapes[index].astype(np.float32),
             "pose": self.body_poses[index].astype(np.float32),
-            "silhouette": (silhouette != 0).astype(np.float32),
+            "silhouette": (silhouette != 0).astype(np.uint8),
             "joints2D": kp.astype(np.float32),
             "fname": fname,
             "gender": str(self.genders[index]),
@@ -216,7 +216,6 @@ class PW3DEvalDataset:
                 os.path.join(pw3d_dir_path, f"extreme_cropped_{extreme_crop_scale}_joints2D.npy")
             )
         self.img_wh = config.DATA.PROXY_REP_SIZE
-        self.hmaps_std = config.DATA.HEATMAP_GAUSSIAN_STD
         self.visible_joints_threshold = visible_joints_threshold
         self.threshold_hip_joints = threshold_hip_joints
 
@@ -235,18 +234,14 @@ class PW3DEvalDataset:
         kp = self.keypoints[index]  # (17, 3) HRNet detections
         conf = kp[:, 2]
         kp = kp[:, :2] * np.array([self.img_wh / ow, self.img_wh / oh])
-        heatmaps = np.asarray(
-            convert_2d_joints_to_gaussian_heatmaps(
-                np.round(kp).astype(np.int16)[None], self.img_wh, std=self.hmaps_std
-            )[0]
-        )
         if self.visible_joints_threshold is not None:
             vis = conf > self.visible_joints_threshold
             if not self.threshold_hip_joints:
                 vis[[0, 1, 2, 3, 4, 5, 6, 11, 12]] = True
             else:
                 vis[[0, 1, 2, 3, 4, 5, 6]] = True
-            heatmaps = heatmaps * vis[:, None, None]
+        else:
+            vis = np.ones(kp.shape[0], bool)
 
         j2d = self.joints2D[index]  # (17, 3) GT
         j2d_conf = j2d[:, 2]
@@ -254,9 +249,12 @@ class PW3DEvalDataset:
         j2d_vis = j2d_conf > (self.visible_joints_threshold or 0.0)
         j2d_vis[[1, 2, 3, 4]] = j2d_conf[[1, 2, 3, 4]] > 0.1  # face threshold (:87)
 
+        # uint8 image + keypoints (device-side heatmap synthesis) — see
+        # SSP3DEvalDataset note; same rounded coordinates as the host build
         return {
-            "image": (image / 255.0).astype(np.float32),
-            "heatmaps": heatmaps.astype(np.float32),
+            "image": np.ascontiguousarray(image),
+            "input_joints2D": np.round(kp).astype(np.int16).astype(np.float32),
+            "input_joints2D_vis": vis,
             "pose": self.pose[index].astype(np.float32),
             "shape": self.shape[index].astype(np.float32),
             "fname": fname,

@@ -266,6 +266,10 @@ class EvalMetricsTracker:
             self.metrics_to_track, pred_dict, target_dict,
             input_j2d, input_vis, self.num_samples_for_prob_metrics,
         )
+        # ONE device→host round-trip for all sums + per-frame values: with
+        # the device behind a network tunnel, per-item float()/np.asarray
+        # syncs cost ~30 ms RTT each (~1.4 s/batch over ~30 metrics)
+        pf, sums = jax.device_get((pf, sums))
         for k, v in sums.items():
             self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v)
         for k, v in pf.items():

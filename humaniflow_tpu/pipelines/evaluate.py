@@ -76,9 +76,27 @@ def make_eval_step(
 
     @partial(jax.jit, static_argnames=())
     def eval_step(params, batch, key):
-        image = batch["image"]  # (B, wh, wh, 3)
-        heatmaps = batch["heatmaps"]  # (B, 17, wh, wh)
+        image = batch["image"]  # (B, wh, wh, 3) f32 in [0,1] or uint8
+        if image.dtype == jnp.uint8:
+            image = image.astype(jnp.float32) / 255.0
         b = image.shape[0]
+        if "heatmaps" in batch:
+            heatmaps = batch["heatmaps"]  # (B, 17, wh, wh)
+        else:
+            # synthesize the input heatmaps ON DEVICE from the dataset's
+            # keypoints — shipping pre-built (17, wh, wh) heatmaps from the
+            # host costs 4.4 MB/frame of transfer vs 150 B of keypoints
+            # (they dominated eval wall-clock through the device tunnel)
+            from ..data.label_conversions import (
+                convert_2d_joints_to_gaussian_heatmaps,
+            )
+
+            heatmaps = convert_2d_joints_to_gaussian_heatmaps(
+                batch["input_joints2D"], img_wh, std=cfg.DATA.HEATMAP_GAUSSIAN_STD
+            )
+            heatmaps = heatmaps * batch["input_joints2D_vis"].astype(
+                jnp.float32
+            )[:, :, None, None]
 
         edges = edge_detector(image)
         edge_img = (
@@ -173,10 +191,12 @@ def make_eval_step(
 def _render_sample_silhouettes(renderer, verts_samples, cam_wp, chunk=8):
     """Silhouettes for all (B, N) sample meshes as a (B, N, wh, wh) bool mask.
 
-    Renders `chunk` samples per call through the renderer's jitted
-    silhouette path (flipping verts to the y-down render convention, same
+    Renders `chunk` samples per call through the renderer's jitted EXACT
+    coverage path (flipping verts to the y-down render convention, same
     cam as the point estimate — reference evaluate_humaniflow.py:209-224).
     Chunking bounds peak rasterizer memory at large N (SSP-3D runs N=100).
+    (A binned-kernel variant measured SLOWER at this scale — see the note
+    in render/renderer.py.)
     """
     b, n, v = verts_samples.shape[:3]
     sils = []
@@ -243,10 +263,15 @@ def evaluate_humaniflow(
         j2d_target = batch.get("joints2D")
         j2d_vis = batch.get("joints2D_visib")
         silhouette_target = batch.get("silhouette")
+        dev_keys = ("image", "pose", "shape", "is_female")
+        # prefer device-side heatmap synthesis from keypoints (tiny host →
+        # device payload); fall back to pre-built heatmaps
+        if "input_joints2D" in batch:
+            dev_keys += ("input_joints2D", "input_joints2D_vis")
+        else:
+            dev_keys += ("heatmaps",)
         dev_batch = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k in ("image", "heatmaps", "pose", "shape", "is_female")
+            k: jnp.asarray(v) for k, v in batch.items() if k in dev_keys
         }
         if mesh is not None:
             from ..parallel.mesh import pad_batch_to_devices, shard_batch

@@ -483,3 +483,10 @@ class TexturedIUVRenderer:
         eval IOU: weak-perspective cam (B, 3) = (scale, tx, ty) (reference
         eval: cam_t from cam_wp with z=2.5, evaluate_humaniflow.py:120-122)."""
         return self._silhouette_jit(vertices, cam_wp)
+
+    # NOTE: a binned-kernel silhouette path was measured at B=320 sample
+    # -silhouette scale and is SLOWER than the exact coverage scan (15.6 s vs
+    # 8.3 s per SSP-3D batch): the binning prologue (candidate sort + face
+    # -table gathers) is a per-mesh fixed cost ~1.9 ms, the same order as
+    # the exact scan's ~2.6 ms VPU-bound test work — so no approximate
+    # backend is offered for metric-bearing silhouettes (docs/DESIGN.md).

@@ -21,11 +21,17 @@ IMG = 32
 
 
 class _FakeEvalDataset:
-    def __init__(self, n=4, img=IMG, seed=0, with_silhouette=False):
+    """Emits the REAL datasets' payload format: uint8 image + keypoints for
+    device-side heatmap synthesis (pipelines/evaluate.py).  legacy_heatmaps
+    exercises the back-compat path (pre-built f32 heatmaps + f32 image)."""
+
+    def __init__(self, n=4, img=IMG, seed=0, with_silhouette=False,
+                 legacy_heatmaps=False):
         self.rng = np.random.default_rng(seed)
         self.n = n
         self.img = img
         self.with_silhouette = with_silhouette
+        self.legacy_heatmaps = legacy_heatmaps
 
     def __len__(self):
         return self.n
@@ -33,8 +39,6 @@ class _FakeEvalDataset:
     def __getitem__(self, i):
         rng = np.random.default_rng(i)
         item = {
-            "image": rng.uniform(size=(self.img, self.img, 3)).astype(np.float32),
-            "heatmaps": rng.uniform(size=(17, self.img, self.img)).astype(np.float32),
             "pose": rng.normal(scale=0.3, size=72).astype(np.float32),
             "shape": rng.normal(scale=0.5, size=10).astype(np.float32),
             "joints2D": rng.uniform(0, self.img, size=(17, 2)).astype(np.float32),
@@ -42,9 +46,20 @@ class _FakeEvalDataset:
             "fname": f"frame_{i:04d}.png",
             "gender": "f" if i % 2 else "m",
         }
+        if self.legacy_heatmaps:
+            item["image"] = rng.uniform(size=(self.img, self.img, 3)).astype(np.float32)
+            item["heatmaps"] = rng.uniform(size=(17, self.img, self.img)).astype(np.float32)
+        else:
+            item["image"] = (
+                rng.uniform(size=(self.img, self.img, 3)) * 255
+            ).astype(np.uint8)
+            item["input_joints2D"] = (
+                rng.uniform(0, self.img, size=(17, 2)).astype(np.int16).astype(np.float32)
+            )
+            item["input_joints2D_vis"] = np.ones(17, bool)
         if self.with_silhouette:
-            sil = np.zeros((self.img, self.img), np.float32)
-            sil[8:24, 10:22] = 1.0
+            sil = np.zeros((self.img, self.img), np.uint8)
+            sil[8:24, 10:22] = 1
             item["silhouette"] = sil
         return item
 
