@@ -12,7 +12,6 @@ fuses into the jitted synthetic-data pipeline.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..configs.defaults import ProxyRepAugment, RgbAugment
 from .label_conversions import TWENTYFOUR_PART_SEG_TO_COCO_JOINTS_MAP

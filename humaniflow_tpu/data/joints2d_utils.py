@@ -1,6 +1,5 @@
 """2D-joint visibility utilities (reference: utils/joints2d_utils.py)."""
 
-import jax
 import jax.numpy as jnp
 
 JOINT_TO_BODYPART_14 = {7: 3, 8: 5, 9: 12, 10: 11, 13: 7, 14: 9, 15: 14, 16: 13}

@@ -5,7 +5,6 @@ seg converters :39-87, heatmap converters :90-163).  Heatmap synthesis is a
 fully-batched jnp op that fuses into the proxy-representation pipeline.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -110,8 +110,7 @@ class PrefetchingLoader:
         self._num = num_batches
 
     def __iter__(self):
-        import queue
-
+        
         q: "queue.Queue" = __import__("queue").Queue(maxsize=2)
 
         def producer():

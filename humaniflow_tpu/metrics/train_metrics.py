@@ -15,6 +15,7 @@ round trips.
 import pickle
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import numpy as np
 
 from .eval_metrics import compute_batch_metrics
@@ -106,6 +107,12 @@ class TrainingLossesAndMetricsTracker:
             target["tpose_verts3D"] = target_tpose_vertices
 
         _, sums = compute_batch_metrics(self.metrics_to_track, pred, target)
+        # one device→host round-trip for everything this batch needs (each
+        # separate float()/np.asarray sync costs an RTT through the device
+        # tunnel — see metrics/eval_metrics.py)
+        sums, pred_j2d, target_j2d = jax.device_get(
+            (sums, pred.get("joints2D"), target.get("joints2D"))
+        )
         for m in self.metrics_to_track:
             if m == "joints2Dsamples-L2E":
                 self.loss_metric_sums[f"{split}_{m}"] += float(sums[m])
@@ -116,9 +123,7 @@ class TrainingLossesAndMetricsTracker:
                 # the reference train tracker does NOT visibility-mask the
                 # point-estimate J2D metric (:180-181); sums[m] here is the
                 # masked value, so recompute unmasked from per-frame * count
-                err = np.linalg.norm(
-                    np.asarray(pred["joints2D"]) - np.asarray(target["joints2D"]), axis=-1
-                )
+                err = np.linalg.norm(pred_j2d - target_j2d, axis=-1)
                 self.loss_metric_sums[f"{split}_{m}"] += float(err.sum())
             else:
                 self.loss_metric_sums[f"{split}_{m}"] += float(sums[m])

@@ -17,11 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.defaults import HumaniflowConfig
-from ..data.label_conversions import (
-    ALL_JOINTS_TO_COCO_MAP,
-    convert_2d_joints_to_gaussian_heatmaps,
-    convert_heatmaps_to_2d_joints_coordinates,
-)
+from ..data.label_conversions import convert_2d_joints_to_gaussian_heatmaps
 from ..models.canny import CannyEdgeDetector
 from ..models.humaniflow import HumaniflowModel
 from ..models.smpl import SMPLModel, smpl_forward
@@ -156,6 +152,7 @@ def predict_humaniflow(
     save_dir: Optional[str] = None,
     fnames=None,
     extras: Optional[Dict] = None,
+    mesh=None,
 ) -> Dict:
     """Batched prediction over pre-cropped images.
 
@@ -163,15 +160,28 @@ def predict_humaniflow(
         detected keypoints in crop coordinates (e.g. from HRNet).
     :param extras: additional per-image arrays to store in the npz dumps
         (bbox/keypoint context for the optimise pipeline).
+    :param mesh: optional jax.sharding.Mesh — images are padded to the
+        device count and sharded over the `data` axis, params replicated
+        (the reference predicts one image at a time on one GPU).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    b = images.shape[0]
     proxy = build_proxy_representation(
         jnp.asarray(images), jnp.asarray(joints2d),
         None if joints2d_conf is None else jnp.asarray(joints2d_conf), cfg,
     )
     predict = make_predict_fn(model, smpl, cfg, num_samples=num_samples)
+    if mesh is not None:
+        from ..parallel.mesh import pad_batch_to_devices, replicate, shard_batch
+
+        proxy, _ = pad_batch_to_devices(proxy, mesh.devices.size)
+        proxy = shard_batch(proxy, mesh)
+        params = replicate(params, mesh)
     pred = predict(params, proxy, key)
+    if mesh is not None:
+        pred = jax.tree_util.tree_map(lambda a: a[:b], pred)
+        proxy = proxy[:b]
     pred["proxy_rep"] = proxy
     if save_dir is not None and fnames is not None:
         all_extras = {

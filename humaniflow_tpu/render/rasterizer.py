@@ -15,7 +15,7 @@ path for the training-data-generation loop.
 """
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

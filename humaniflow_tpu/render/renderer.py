@@ -18,7 +18,6 @@ undo_keypoint_normalisation: callers pass meshes already flipped by the
 x-axis-π rotation exactly as the reference does before rendering.
 """
 
-import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -28,9 +27,7 @@ import numpy as np
 
 from ..configs import paths
 from .rasterizer import (
-    Fragments,
     face_normals,
-    interpolate_face_attributes,
     project_orthographic_screen,
     project_perspective_screen,
     rasterize,
@@ -106,10 +103,11 @@ class TexturedIUVRenderer:
     #   "xla"    — exact z-buffer scan over face chunks (works everywhere);
     #   "tiled"  — tile-culled Pallas kernel (render/pallas_rasterizer.py),
     #              exact, ~2x faster than xla at large batch on TPU;
-    #   "binned" — per-strip binned Pallas kernel
-    #              (render/binned_rasterizer.py), ~17x faster than xla at
-    #              training batch on TPU; near-exact (<0.1% boundary-pixel
-    #              differences where a strip's face table overflows — use
+    #   "binned" — per-strip binned Pallas kernel with in-kernel attribute
+    #              interpolation (render/binned_rasterizer.py), ~17x faster
+    #              than xla at training batch on TPU; near-exact (measured
+    #              agreement incl. worst-case stretched meshes in
+    #              docs/DESIGN.md "Binned rasterizer approximation" — use
     #              for the synthetic-training-data renders, keep exact
     #              backends for metric-bearing eval renders).
     # Falls back to "xla" on CPU or when img_wh isn't a multiple of 128.

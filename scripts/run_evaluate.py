@@ -21,8 +21,6 @@ def main():
     parser.add_argument("--cfg", type=str, default=None)
     args = parser.parse_args()
 
-    import jax
-
     from humaniflow_tpu.configs import load_config, paths
     from humaniflow_tpu.data.datasets import PW3DEvalDataset, SSP3DEvalDataset
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz

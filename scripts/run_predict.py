@@ -34,7 +34,7 @@ def main():
     from humaniflow_tpu.configs import load_config, paths
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
     from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
-    from humaniflow_tpu.pipelines.predict import predict_humaniflow, save_pred_output
+    from humaniflow_tpu.pipelines.predict import predict_humaniflow
     from humaniflow_tpu.pipelines.predict_hrnet import predict_hrnet_batch
     from humaniflow_tpu.utils.checkpoints import load_checkpoint
 

@@ -23,8 +23,6 @@ def main():
     parser.add_argument("--num_devices", "-D", type=int, default=None)
     args = parser.parse_args()
 
-    import jax
-
     from humaniflow_tpu.configs import load_config, paths, save_config
     from humaniflow_tpu.data.datasets import OnTheFlySMPLTrainDataset
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz

@@ -367,3 +367,29 @@ class TestPredict:
         assert out["verts_samples"].shape == (2, 3, 64, 3)
         assert out["vertex_uncertainty_l2"].shape == (2, 64)
         assert np.isfinite(np.asarray(out["vertex_uncertainty_l2"])).all()
+
+    def test_predict_data_parallel_matches_single(self, setup):
+        """predict_humaniflow(mesh=8) pads + shards images over the data
+        axis and reproduces the single-device outputs."""
+        from humaniflow_tpu.pipelines.predict import predict_humaniflow
+
+        _, model, params, smpl = setup
+        cfg = get_humaniflow_cfg_defaults()
+        cfg.DATA.PROXY_REP_SIZE = IMG
+        rng = np.random.default_rng(5)
+        images = rng.uniform(size=(3, IMG, IMG, 3)).astype(np.float32)  # pads to 8
+        j2d = rng.uniform(0, IMG, size=(3, 17, 2)).astype(np.float32)
+        conf = np.ones((3, 17), np.float32)
+        key = jax.random.PRNGKey(9)
+        single = predict_humaniflow(
+            model, params, smpl, cfg, images, j2d, conf, num_samples=2, key=key,
+        )
+        sharded = predict_humaniflow(
+            model, params, smpl, cfg, images, j2d, conf, num_samples=2, key=key,
+            mesh=make_mesh(8),
+        )
+        np.testing.assert_allclose(
+            np.asarray(single["verts_point_est"]),
+            np.asarray(sharded["verts_point_est"]), atol=1e-5,
+        )
+        assert sharded["verts_samples"].shape[0] == 3
