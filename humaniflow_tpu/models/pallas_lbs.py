@@ -126,7 +126,7 @@ def lbs_skin_pallas_cm(
 # only on the vertex tile) stay resident across batch blocks.
 
 FUSED_BATCH_BLOCK = 128
-FUSED_VERT_TILE = 512
+FUSED_VERT_TILE = 1024  # swept: (128,1024) 7.0 ms; (128,512) 7.4; larger tiles exceed VMEM
 
 
 # f32 dot precision for the fused kernel, all measured against an f64
@@ -160,7 +160,6 @@ def _smpl_verts_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref, pd_ref, o
     out_ref:  (BB, 4, VT)     — skinned vertices
     """
     w = w_ref[:]
-    mt = [_dot3(a_ref[:, r, :], w) for r in range(12)]
     p = []
     for c in range(3):
         pc = (
@@ -169,9 +168,15 @@ def _smpl_verts_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref, pd_ref, o
             + _dot3(pf_ref[:], pd_ref[:, c, :])
         )
         p.append(pc)
-    out_ref[:, 0, :] = mt[0] * p[0] + mt[1] * p[1] + mt[2] * p[2] + mt[9]
-    out_ref[:, 1, :] = mt[3] * p[0] + mt[4] * p[1] + mt[5] * p[2] + mt[10]
-    out_ref[:, 2, :] = mt[6] * p[0] + mt[7] * p[1] + mt[8] * p[2] + mt[11]
+    # per-output-channel dot groups: only 4 mt planes live at a time (the
+    # 12-plane variant overflows VMEM at larger vertex tiles)
+    for c in range(3):
+        out_ref[:, c, :] = (
+            _dot3(a_ref[:, 3 * c + 0, :], w) * p[0]
+            + _dot3(a_ref[:, 3 * c + 1, :], w) * p[1]
+            + _dot3(a_ref[:, 3 * c + 2, :], w) * p[2]
+            + _dot3(a_ref[:, 9 + c, :], w)
+        )
     out_ref[:, 3, :] = jnp.zeros_like(p[0])
 
 
