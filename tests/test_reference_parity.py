@@ -1,0 +1,519 @@
+"""Execution-level parity against the ACTUAL reference torch modules.
+
+The reference implementation at /root/reference is importable here (torch
+CPU is installed), so instead of synthetic state dicts that merely mimic the
+naming, these tests instantiate the real reference modules, take their REAL
+``state_dict()``s, run them through ``utils/convert_torch.py``, and assert
+the JAX output equals the torch output on shared random inputs.  This
+retires the converter/architecture half of the <0.5 mm PVE parity risk
+(BASELINE.md) without any external download — everything except the pyro
+flow stack (pyro is not installed) is output-verified.
+
+Covered (reference file:line):
+* resnet18(in_channels=18)            models/resnet.py:229
+* PoseHighResolutionNet (w48 cfg)     models/pose2D_hrnet.py:275
+* CannyEdgeDetector                   models/canny_edge_detector.py:11
+* batch_crop_pytorch_affine           utils/image_utils.py:234
+* convert_2Djoints_to_gaussian_heatmaps_torch   utils/label_conversions.py:106
+* convert_heatmaps_to_2Djoints_coordinates_torch label_conversions.py:128
+* procrustes_analysis_batch           utils/eval_utils.py:62
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+pytest.importorskip("models.resnet")  # reference checkout present
+
+
+def _seeded(seed):
+    g = torch.Generator()
+    g.manual_seed(seed)
+    return g
+
+
+def _randomise_bn_stats_(module, seed):
+    """Fill BN running stats / affine params with non-trivial values.
+
+    Default torch init leaves running_mean=0, running_var=1, weight=1,
+    bias=0 — an identity-ish BN that would NOT exercise the converter's
+    scale/bias/mean/var mapping.  Conv/linear weights keep their (random)
+    default init, which already exercises the layout transposes.
+    """
+    g = _seeded(seed)
+    with torch.no_grad():
+        for name, buf in module.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.2)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+        for name, p in module.named_parameters():
+            if "bn" in name.lower() or "downsample.1" in name:
+                if name.endswith("weight") and p.dim() == 1:
+                    p.copy_(torch.rand(p.shape, generator=g) + 0.5)
+                elif name.endswith("bias") and p.dim() == 1:
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = max(np.abs(b).max(), 1e-12)
+    return np.abs(a - b).max() / denom
+
+
+# ---------------------------------------------------------------- ResNet-18
+
+
+def test_resnet18_real_statedict_parity():
+    """Real reference resnet18(in_channels=18) vs flax encoder + converter."""
+    from models.resnet import resnet18 as ref_resnet18
+
+    from humaniflow_tpu.models.resnet import resnet18
+    from humaniflow_tpu.utils.convert_torch import _convert_resnet
+
+    tm = ref_resnet18(in_channels=18)
+    _randomise_bn_stats_(tm, 0)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = _convert_resnet(sd, "", (2, 2, 2, 2))
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    x = torch.randn(2, 18, 64, 64, generator=_seeded(1))
+    with torch.no_grad():
+        want = tm(x).numpy()  # (2, 512)
+
+    got = resnet18().apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                           train=False)
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < 2e-4
+
+
+# ---------------------------------------------------------------- HRNet-W48
+
+W48_CFG = {
+    "MODEL": {
+        "NUM_JOINTS": 17,
+        "EXTRA": {
+            "FINAL_CONV_KERNEL": 1,
+            "PRETRAINED_LAYERS": ["*"],
+            "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4], "NUM_CHANNELS": [48, 96],
+                       "FUSE_METHOD": "SUM"},
+            "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4, 4], "NUM_CHANNELS": [48, 96, 192],
+                       "FUSE_METHOD": "SUM"},
+            "STAGE4": {"NUM_MODULES": 3, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                       "NUM_BLOCKS": [4, 4, 4, 4],
+                       "NUM_CHANNELS": [48, 96, 192, 384],
+                       "FUSE_METHOD": "SUM"},
+        },
+    }
+}
+
+
+def test_hrnet_w48_real_statedict_parity():
+    """Real reference PoseHighResolutionNet (w48 cfg,
+    configs/pose2D_hrnet_config.py:28-50) vs flax HRNet + converter."""
+    from models.pose2D_hrnet import PoseHighResolutionNet as RefHRNet
+
+    from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
+    from humaniflow_tpu.utils.convert_torch import convert_hrnet_checkpoint
+
+    torch.manual_seed(0)
+    tm = RefHRNet(W48_CFG)
+    _randomise_bn_stats_(tm, 2)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_hrnet_checkpoint(sd))
+
+    # full 384×288 is CPU-slow; HRNet is fully convolutional so a smaller
+    # multiple-of-32 input exercises every layer/fuse path
+    x = torch.randn(1, 3, 96, 64, generator=_seeded(3))
+    with torch.no_grad():
+        want = tm(x).numpy()  # (1, 17, 24, 16)
+
+    got = PoseHighResolutionNet().apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    assert _rel_err(got, want) < 5e-4
+
+
+# ------------------------------------------------------------------- Canny
+
+
+def test_canny_real_module_parity():
+    """Real reference CannyEdgeDetector vs the JAX detector (no learned
+    params — verifies the filter constants and NMS logic themselves)."""
+    from models.canny_edge_detector import CannyEdgeDetector as RefCanny
+
+    from humaniflow_tpu.models.canny import CannyEdgeDetector
+
+    tm = RefCanny(non_max_suppression=True, gaussian_filter_std=1.0,
+                  gaussian_filter_size=5, threshold=0.2)
+    tm.eval()
+    # smooth-ish input: thresholds/orientation bins have fewer knife-edge ties
+    torch.manual_seed(4)
+    img = torch.nn.functional.avg_pool2d(
+        torch.rand(2, 1, 64, 64, generator=_seeded(4)), 3, stride=1, padding=1
+    )
+    with torch.no_grad():
+        want = tm(img)
+
+    ours = CannyEdgeDetector(non_max_suppression=True, gaussian_filter_std=1.0,
+                             gaussian_filter_size=5, threshold=0.2)
+    got = ours(jnp.asarray(img.numpy().transpose(0, 2, 3, 1)))
+
+    def nchw(a):
+        return np.asarray(a).transpose(0, 3, 1, 2)
+
+    assert _rel_err(nchw(got["blurred_img"]), want["blurred_img"].numpy()) < 1e-5
+    assert _rel_err(nchw(got["grad_magnitude"]), want["grad_magnitude"].numpy()) < 1e-4
+    # binned orientation + thresholded/NMS outputs are discrete at bin/threshold
+    # boundaries — require near-total agreement instead of exact
+    for key in ("grad_orientation", "thresholded_grad_magnitude",
+                "thin_edges", "thresholded_thin_edges"):
+        a = nchw(got[key])
+        b = want[key].numpy()
+        mismatch = np.mean(~np.isclose(a, b, rtol=1e-4, atol=1e-5))
+        assert mismatch < 0.01, (key, mismatch)
+
+
+# ------------------------------------------------------------ affine crop
+
+
+def test_batch_crop_affine_parity():
+    """Real reference batch_crop_pytorch_affine (affine_grid + grid_sample)
+    vs the separable-matmul sampler, bboxes determined from the IUV map."""
+    from utils.image_utils import batch_crop_pytorch_affine
+
+    from humaniflow_tpu.data.image_ops import batch_crop_affine
+
+    b, h, w = 3, 96, 80
+    rng = np.random.RandomState(5)
+    iuv = np.zeros((b, 3, h, w), np.float32)
+    for i in range(b):
+        y0, x0 = rng.randint(5, 30, 2)
+        y1 = y0 + rng.randint(25, 50)
+        x1 = x0 + rng.randint(20, 40)
+        iuv[i, 0, y0:y1, x0:x1] = rng.randint(1, 25)
+        iuv[i, 1:, y0:y1, x0:x1] = rng.rand(2, y1 - y0, x1 - x0)
+    rgb = rng.rand(b, 3, h, w).astype(np.float32)
+    seg = (iuv[:, 0] != 0).astype(np.float32)
+    joints2d = (rng.rand(b, 17, 2) * [[w, h]]).astype(np.float32)
+
+    # NOTE: the reference's seg output branch feeds a 3-D (B, H, W) tensor to
+    # grid_sample, which rejects it — and no reference caller ever passes
+    # seg= (train_humaniflow.py:192 uses bbox_determiner=).  So compare
+    # iuv/rgb/joints2D, with the bbox-determiner path exercised like the
+    # reference training loop does.
+    with torch.no_grad():
+        want = batch_crop_pytorch_affine(
+            (w, h), (32, 32), b, torch.device("cpu"),
+            iuv=torch.from_numpy(iuv), joints2D=torch.from_numpy(joints2d),
+            rgb=torch.from_numpy(rgb), bbox_determiner=torch.from_numpy(seg),
+            orig_scale_factor=1.2, out_of_frame_pad_val=-1)
+
+    got = batch_crop_affine(
+        (32, 32), iuv=jnp.asarray(iuv.transpose(0, 2, 3, 1)),
+        joints2d=jnp.asarray(joints2d), rgb=jnp.asarray(rgb.transpose(0, 2, 3, 1)),
+        bbox_determiner=jnp.asarray(seg), orig_scale_factor=1.2,
+        out_of_frame_pad_val=-1)
+
+    np.testing.assert_allclose(np.asarray(got["joints2d"]),
+                               want["joints2D"].numpy(), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["rgb"]).transpose(0, 3, 1, 2),
+                               want["rgb"].numpy(), rtol=1e-4, atol=1e-4)
+    # nearest-mode channels: rounding ties at exact half-pixels may differ
+    iuv_mismatch = np.mean(~np.isclose(np.asarray(got["iuv"]).transpose(0, 3, 1, 2),
+                                       want["iuv"].numpy(), atol=1e-5))
+    assert iuv_mismatch < 0.01, iuv_mismatch
+
+
+def test_batch_crop_affine_parity_joints_bbox():
+    """bbox-from-visible-joints branch (reference image_utils.py:292-300)."""
+    from utils.image_utils import batch_crop_pytorch_affine
+
+    from humaniflow_tpu.data.image_ops import batch_crop_affine
+
+    # b=4: the reference's 1-visible-joint guard compares bbox_corners[:2]
+    # with bbox_corners[2:] over the BATCH axis (image_utils.py:297, a latent
+    # bug) — any batch size other than 4 shape-errors in that branch.
+    b, h, w = 4, 64, 64
+    rng = np.random.RandomState(6)
+    joints2d = (rng.rand(b, 17, 2) * [[w * 0.6, h * 0.6]] + 10).astype(np.float32)
+    vis = rng.rand(b, 17) > 0.2
+    vis[:, 0] = True  # ensure >1 visible joint
+    vis[:, 1] = True
+    rgb = rng.rand(b, 3, h, w).astype(np.float32)
+
+    with torch.no_grad():
+        want = batch_crop_pytorch_affine(
+            (w, h), (48, 48), b, torch.device("cpu"),
+            joints2D=torch.from_numpy(joints2d), rgb=torch.from_numpy(rgb),
+            joints2D_vis=torch.from_numpy(vis), orig_scale_factor=1.4)
+
+    got = batch_crop_affine(
+        (48, 48), joints2d=jnp.asarray(joints2d),
+        rgb=jnp.asarray(rgb.transpose(0, 2, 3, 1)),
+        joints2d_vis=jnp.asarray(vis), orig_scale_factor=1.4)
+
+    np.testing.assert_allclose(np.asarray(got["joints2d"]),
+                               want["joints2D"].numpy(), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["rgb"]).transpose(0, 3, 1, 2),
+                               want["rgb"].numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------- label convert
+
+
+def test_gaussian_heatmap_parity():
+    from utils.label_conversions import convert_2Djoints_to_gaussian_heatmaps_torch
+
+    from humaniflow_tpu.data.label_conversions import (
+        convert_2d_joints_to_gaussian_heatmaps,
+    )
+
+    rng = np.random.RandomState(7)
+    joints = (rng.rand(2, 17, 2) * 64).astype(np.float32)
+    want = convert_2Djoints_to_gaussian_heatmaps_torch(
+        torch.from_numpy(joints), 64, std=4).numpy()
+    got = convert_2d_joints_to_gaussian_heatmaps(jnp.asarray(joints), 64, std=4.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_heatmap_to_joints_parity():
+    from utils.label_conversions import (
+        convert_heatmaps_to_2Djoints_coordinates_torch,
+    )
+
+    from humaniflow_tpu.data.label_conversions import (
+        convert_heatmaps_to_2d_joints_coordinates,
+    )
+
+    rng = np.random.RandomState(8)
+    hm = rng.rand(2, 17, 32, 32).astype(np.float32)
+    hm[0, 3] = 0.0  # invisible joint case
+    want_j, want_v = convert_heatmaps_to_2Djoints_coordinates_torch(
+        torch.from_numpy(hm))
+    got_j, got_v = convert_heatmaps_to_2d_joints_coordinates(jnp.asarray(hm))
+    np.testing.assert_array_equal(np.asarray(got_v), want_v.numpy())
+    np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), atol=1e-6)
+
+
+# -------------------------------------------------------------- procrustes
+
+
+def test_procrustes_parity():
+    from utils.eval_utils import procrustes_analysis_batch as ref_procrustes
+
+    from humaniflow_tpu.ops.alignment import procrustes_analysis_batch
+
+    rng = np.random.RandomState(9)
+    s1 = rng.randn(4, 100, 3).astype(np.float32)
+    # targets = rotated/scaled/translated + noise (well-conditioned SVD)
+    s2 = 1.3 * s1 @ _random_rotations(rng, 4) + rng.randn(4, 1, 3) * 0.5
+    s2 = (s2 + rng.randn(*s2.shape) * 0.05).astype(np.float32)
+
+    want = ref_procrustes(s1.astype(np.float64), s2.astype(np.float64))
+    got = procrustes_analysis_batch(jnp.asarray(s1), jnp.asarray(s2))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def _random_rotations(rng, n):
+    import scipy.linalg
+
+    rs = []
+    for _ in range(n):
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        rs.append(q)
+    return np.stack(rs).astype(np.float32)
+
+
+# ------------------------------------------------- SO(3) / rotation reps
+
+
+def test_so3_exp_log_parity():
+    """Real reference so3_exp/so3_log (rigid_transform_utils.py:182,204,
+    relie transcription, f64-only) vs the cancellation-free f32 forms."""
+    from utils.rigid_transform_utils import so3_exp as ref_exp
+    from utils.rigid_transform_utils import so3_log as ref_log
+
+    from humaniflow_tpu.ops.so3 import so3_exp, so3_log
+
+    rng = np.random.RandomState(10)
+    axes = rng.randn(64, 3)
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    thetas = np.concatenate([
+        rng.uniform(1e-3, np.pi - 0.1, 48),
+        rng.uniform(1e-8, 1e-4, 8),          # small-angle window
+        rng.uniform(np.pi - 5e-3, np.pi - 1e-4, 8),  # π branch
+    ])
+    v = (axes * thetas[:, None]).astype(np.float64)
+
+    want_R = ref_exp(torch.from_numpy(v)).numpy()
+    got_R = np.asarray(so3_exp(jnp.asarray(v, jnp.float32)))
+    np.testing.assert_allclose(got_R, want_R, atol=5e-6)
+
+    want_log = ref_log(torch.from_numpy(want_R), return_axis_angle=True).numpy()
+    got_log = np.asarray(so3_log(jnp.asarray(want_R, jnp.float32)))
+    # away from π: direct comparison; π branch: compare images under exp
+    # (the sign search can legitimately flip at machine precision near π)
+    main = thetas < np.pi - 1e-2
+    np.testing.assert_allclose(got_log[main], want_log[main], atol=2e-4)
+    back_want = ref_exp(torch.from_numpy(want_log.astype(np.float64))).numpy()
+    back_got = np.asarray(so3_exp(jnp.asarray(got_log)))
+    np.testing.assert_allclose(back_got, back_want, atol=1e-3)
+
+
+def test_so3_xset_logdet_parity():
+    from utils.rigid_transform_utils import so3_log_abs_det_jacobian as ref_ldj
+    from utils.rigid_transform_utils import so3_xset as ref_xset
+
+    from humaniflow_tpu.ops.so3 import so3_log_abs_det_jacobian, so3_xset
+
+    rng = np.random.RandomState(11)
+    x = (rng.randn(16, 3) * 1.2).astype(np.float64)
+
+    want = ref_xset(torch.from_numpy(x), 2).numpy()
+    got = np.asarray(so3_xset(jnp.asarray(x, jnp.float32), k_max=2))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    want_l = ref_ldj(torch.from_numpy(x)).numpy()
+    got_l = np.asarray(so3_log_abs_det_jacobian(jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(got_l, want_l, atol=1e-4)
+
+
+def test_rotation_rep_parity():
+    """rot6d/rotmat/quat conversions vs reference
+    rigid_transform_utils.py:86,103,119."""
+    from utils.rigid_transform_utils import (
+        quat_to_rotmat as ref_quat,
+        rot6d_to_rotmat as ref_rot6d,
+        rotmat_to_rot6d as ref_inv6d,
+    )
+
+    from humaniflow_tpu.ops.rotation import (
+        quat_to_rotmat,
+        rot6d_to_rotmat,
+        rotmat_to_rot6d,
+    )
+
+    rng = np.random.RandomState(12)
+    x6 = rng.randn(32, 6).astype(np.float32)
+    want = ref_rot6d(torch.from_numpy(x6)).numpy()
+    got = np.asarray(rot6d_to_rotmat(jnp.asarray(x6)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    for stack_columns in (False, True):
+        want6 = ref_inv6d(torch.from_numpy(want), stack_columns=stack_columns).numpy()
+        got6 = np.asarray(rotmat_to_rot6d(jnp.asarray(want), stack_columns=stack_columns))
+        np.testing.assert_allclose(got6, want6, atol=1e-6)
+
+    q = rng.randn(32, 4).astype(np.float32)
+    want_q = ref_quat(torch.from_numpy(q)).numpy()
+    got_q = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    np.testing.assert_allclose(got_q, want_q, atol=1e-5)
+
+
+# ------------------------------------------------------------------ camera
+
+
+def test_camera_parity():
+    """Orthographic + perspective projection and weak-perspective translation
+    vs reference cam_utils.py:9,30,80."""
+    from utils.cam_utils import (
+        batch_convert_weak_perspective_to_camera_translation_torch as ref_wp,
+        orthographic_project_torch as ref_ortho,
+        perspective_project_torch as ref_persp,
+    )
+
+    from humaniflow_tpu.ops.camera import (
+        convert_weak_perspective_to_camera_translation,
+        orthographic_project,
+        perspective_project,
+    )
+
+    rng = np.random.RandomState(13)
+    pts = rng.randn(4, 50, 3).astype(np.float32)
+    cam = np.abs(rng.randn(4, 3)).astype(np.float32) + 0.2
+
+    np.testing.assert_allclose(
+        np.asarray(orthographic_project(jnp.asarray(pts), jnp.asarray(cam))),
+        ref_ortho(torch.from_numpy(pts), torch.from_numpy(cam)).numpy(),
+        rtol=1e-5, atol=1e-6)
+
+    rot = np.stack([np.eye(3)] * 4).astype(np.float32)
+    trans = (rng.randn(4, 3) * 0.1 + [[0, 0, 5.0]]).astype(np.float32)
+    want = ref_persp(torch.from_numpy(pts), torch.from_numpy(rot),
+                     torch.from_numpy(trans), focal_length=300.0,
+                     img_wh=256).numpy()
+    got = np.asarray(perspective_project(jnp.asarray(pts), jnp.asarray(rot),
+                                         jnp.asarray(trans),
+                                         focal_length=300.0, img_wh=256))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    want_t = ref_wp(torch.from_numpy(cam), 300.0, 256).numpy()
+    got_t = np.asarray(convert_weak_perspective_to_camera_translation(
+        jnp.asarray(cam), 300.0, 256))
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------- joints2d / labels
+
+
+def test_joints2d_checks_parity():
+    """Visibility + occlusion checks vs reference joints2d_utils.py:13,29."""
+    from utils.joints2d_utils import (
+        check_joints2d_occluded_torch,
+        check_joints2d_visibility_torch,
+    )
+
+    from humaniflow_tpu.data.joints2d_utils import (
+        check_joints2d_occluded,
+        check_joints2d_visibility,
+    )
+
+    rng = np.random.RandomState(14)
+    joints = (rng.rand(6, 17, 2) * 300 - 20).astype(np.float32)  # some OOB
+    want = check_joints2d_visibility_torch(torch.from_numpy(joints), 256).numpy()
+    got = np.asarray(check_joints2d_visibility(jnp.asarray(joints), 256))
+    np.testing.assert_array_equal(got, want)
+
+    seg = rng.randint(0, 15, (6, 64, 64))
+    vis = torch.from_numpy(rng.rand(6, 17) > 0.2)
+    want_o = check_joints2d_occluded_torch(torch.from_numpy(seg), vis.clone(),
+                                           pixel_count_threshold=50).numpy()
+    got_o = np.asarray(check_joints2d_occluded(jnp.asarray(seg),
+                                               jnp.asarray(vis.numpy()),
+                                               pixel_count_threshold=50))
+    np.testing.assert_array_equal(got_o, want_o)
+
+
+def test_densepose_14part_parity():
+    from utils.label_conversions import (
+        convert_densepose_seg_to_14part_labels as ref_convert,
+    )
+
+    from humaniflow_tpu.data.label_conversions import (
+        convert_densepose_seg_to_14part_labels,
+    )
+
+    rng = np.random.RandomState(15)
+    seg = rng.randint(0, 25, (3, 32, 32))
+    want = ref_convert(seg.copy())
+    got = np.asarray(convert_densepose_seg_to_14part_labels(jnp.asarray(seg)))
+    np.testing.assert_array_equal(got, want)
