@@ -184,3 +184,108 @@ def test_f32_production_dtype_close_to_oracle():
         oracle._softplus(d_raw), oracle._sigmoid(l_raw), bound=BOUND,
     )
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-5)
+
+
+def _knot_positions(w_raw, bound=BOUND, min_bin_width=1e-3):
+    """x-positions of the spline knots for raw (pre-softmax) width params."""
+    w = oracle._softmax(w_raw)
+    k = w.shape[-1]
+    widths = min_bin_width + (1.0 - min_bin_width * k) * w
+    _, cumwidths = oracle._calculate_knots(widths, -bound, bound)
+    return cumwidths  # (..., k+1)
+
+
+def _edge_grid(knots, rng):
+    """Per-sample f32 stress inputs: every knot exactly, knots ± f32-scale
+    offsets, the ±bound endpoints, just outside support, far outside."""
+    n = knots.shape[0]
+    cols = [knots, knots - 1e-6, knots + 1e-6, knots - 3e-7, knots + 3e-7]
+    fixed = np.array([-BOUND, BOUND, -BOUND - 1e-6, BOUND + 1e-6,
+                      -BOUND - 1e-3, BOUND + 1e-3, -30.0, 30.0])
+    cols.append(np.broadcast_to(fixed, (n, fixed.size)))
+    cols.append(rng.uniform(-BOUND, BOUND, size=(n, 8)))
+    return np.concatenate(cols, axis=-1)  # (n, M)
+
+
+class TestF32SplineEdges:
+    """SURVEY §7 hard-part #1: pyro's spline instabilities lived at knot
+    boundaries, at ±bound, and in the inverse.  Pin the f32 production path
+    exactly there: no NaN/inf anywhere, bounded error vs the f64 oracle.
+
+    Tolerances: the spline's local Lipschitz constant is the knot derivative
+    (softplus of N(0,2) raws here — up to ~6), so f32 input rounding of the
+    knot positions (~1.2e-7·bound) admits ~1e-5 output error; 1e-4 bounds
+    observed error with margin.  (reference:
+    conditional_spline_coupling_transform.py:51-78 upcasts to f64 instead.)
+    """
+
+    def _params_and_inputs(self, seed):
+        rng = np.random.default_rng(seed)
+        w_raw, h_raw, d_raw, l_raw = _raw_spline_params(rng, (32,))
+        knots = _knot_positions(w_raw)  # (32, K+1)
+        x = _edge_grid(knots, rng)      # (32, M)
+        m = x.shape[-1]
+        tile = lambda p: np.broadcast_to(p[:, None, :], (32, m, p.shape[-1]))
+        return tuple(tile(p) for p in (w_raw, h_raw, d_raw, l_raw)), x
+
+    def _run_f32(self, params, x, inverse):
+        from humaniflow_tpu.flows.spline import monotonic_rational_spline
+
+        y, ld = monotonic_rational_spline(
+            jnp.asarray(x, jnp.float32),
+            *(jnp.asarray(p, jnp.float32) for p in params),
+            inverse=inverse, bound=BOUND,
+        )
+        return np.asarray(y), np.asarray(ld)
+
+    def _oracle(self, params, x, inverse):
+        w_raw, h_raw, d_raw, l_raw = params
+        return oracle.monotonic_rational_spline(
+            x, oracle._softmax(w_raw), oracle._softmax(h_raw),
+            oracle._softplus(d_raw), oracle._sigmoid(l_raw),
+            inverse=inverse, bound=BOUND,
+        )
+
+    def test_forward_at_edges(self):
+        params, x = self._params_and_inputs(20)
+        y, ld = self._run_f32(params, x, inverse=False)
+        assert np.isfinite(y).all() and np.isfinite(ld).all()
+        y_ref, ld_ref = self._oracle(params, x, inverse=False)
+        np.testing.assert_allclose(y, y_ref, atol=1e-4)
+        np.testing.assert_allclose(ld, ld_ref, atol=2e-3)
+
+    def test_inverse_at_edges(self):
+        params, yin = self._params_and_inputs(21)
+        # stress the inverse at the *height* knot images too: same grid works
+        # (heights use their own knots, the grid still covers interior +
+        # boundary + outside-support cases)
+        x, ld = self._run_f32(params, yin, inverse=True)
+        assert np.isfinite(x).all() and np.isfinite(ld).all()
+        x_ref, ld_ref = self._oracle(params, yin, inverse=True)
+        np.testing.assert_allclose(x, x_ref, atol=1e-4)
+        np.testing.assert_allclose(ld, ld_ref, atol=2e-3)
+
+    def test_f32_roundtrip_full_support(self):
+        """inverse(forward(x)) at f32 across the whole support incl. exact
+        knots and ±bound: finite and within f32 conditioning of identity."""
+        params, x = self._params_and_inputs(22)
+        x = np.clip(x, -BOUND, BOUND)  # roundtrip defined on the support
+        y, ld_f = self._run_f32(params, x, inverse=False)
+        x_rt, ld_i = self._run_f32(params, y, inverse=True)
+        assert np.isfinite(x_rt).all()
+        # Conditioning-aware bound, measured at the knife edges:
+        # * flat 1e-3 term — when forward(x) lands within ~1e-6 of a height
+        #   knot, the f32 inverse near the bin edge loses ~2e-4 of relative
+        #   precision in the stable-quadratic solve (worst observed 7.6e-4;
+        #   the f64 oracle inverse of the same f32 y is exact, i.e. this is
+        #   inherent f32 edge conditioning — the reason pyro upcast to f64);
+        # * exp(-ld_f) term — near-degenerate bins (dy/dx ~ 1e-5 from the
+        #   N(0,2) raw params) amplify y-rounding by |dx/dy|.
+        tol = 1e-3 + 2e-5 * np.exp(-ld_f)
+        assert (np.abs(x_rt - x) <= tol).all(), float(
+            np.max(np.abs(x_rt - x) - tol))
+        # log-dets are consistent where the spline is reasonably conditioned
+        # (at ±bound the two sides can land in different bins; within ~1e-6
+        # of a knot, d(logdet)/dx is edge-amplified → ~1% wiggle observed)
+        interior = (np.abs(x) < BOUND - 1e-4) & (ld_f > -5.0)
+        np.testing.assert_allclose((ld_f + ld_i)[interior], 0.0, atol=2e-2)
