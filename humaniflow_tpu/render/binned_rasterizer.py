@@ -73,7 +73,8 @@ def _edge_plane_coeffs(tri: jax.Array) -> jax.Array:
     return jnp.stack([a0, b0, c0, a1, b1, c1, za, zb, zc], axis=-1)
 
 
-def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False):
+def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
+                 emit_frags=True):
     """Kernel for one (batch, strip, face-chunk) instance.
 
     bounds_ref: SMEM (1, 1, 1, 2)          — live slot window [lo, hi)
@@ -87,25 +88,39 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False):
         reusing the already-computed barycentrics instead of post-raster
         XLA gathers (which are latency-bound: 150 ms/batch at training
         scale, docs/DESIGN.md).
-    fid_ref:    SMEM (1, 1, 1, FACE_CHUNK) — original face ids
+    fid_ref:    SMEM (1, 1, 1, FACE_CHUNK) — original face ids; only
+        present when emit_frags.
     outputs:    VMEM (1, STRIP_ROWS, STRIP_COLS), revisited per chunk:
-        depth, face, b0, b1, then n_lin planes, n_const planes, and the
-        winner's (za, zb) depth-gradient planes when z_grads (for
-        gather-free normal reconstruction).
+        depth, then (when emit_frags) face, b0, b1, then n_lin planes,
+        n_const planes, and the winner's (za, zb) depth-gradient planes
+        when z_grads (for gather-free normal reconstruction).
+
+    emit_frags=False drops the face-id/barycentric outputs (and the fid
+    input) for consumers that only need depth + interpolated attributes —
+    the fused render path.  The kernel is VPU-op-bound (~1 (8,128) op per
+    cycle; the per-face SMEM scalar reads overlap with vector work on the
+    scalar core for free — a vectorised dynamic-gather broadcast variant
+    measured 2x SLOWER), so every dropped per-face select is wall-clock:
+    trimming face/b0/b1 + 1 lin attr cut kernel+bin 170 -> 144 ms at
+    training scale with identical output.
 
     Slots outside [lo, hi) hold neighbouring strips' faces (the windows are
     128-aligned) — they are masked out via a scalar broadcast into `take`.
     """
-    def kernel(bounds_ref, coef_ref, fid_ref, depth_ref, face_ref, b0_ref,
-               b1_ref, *attr_refs):
+    def kernel(bounds_ref, coef_ref, *rest):
+        if emit_frags:
+            fid_ref, depth_ref, face_ref, b0_ref, b1_ref, *attr_refs = rest
+        else:
+            depth_ref, *attr_refs = rest
         ck = pl.program_id(2)
 
         @pl.when(ck == 0)
         def _init():
             depth_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), BIG_DEPTH, jnp.float32)
-            face_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), -1, jnp.int32)
-            b0_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
-            b1_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+            if emit_frags:
+                face_ref[0] = jnp.full((STRIP_ROWS, STRIP_COLS), -1, jnp.int32)
+                b0_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+                b1_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
             for r in attr_refs:
                 r[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
 
@@ -146,11 +161,12 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False):
                     + coef_ref[0, 0, 8, k]
                 )
                 take = live & (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (z < depth_ref[0])
-                fid = fid_ref[0, 0, 0, k]
                 depth_ref[0] = jnp.where(take, z, depth_ref[0])
-                face_ref[0] = jnp.where(take, fid, face_ref[0])
-                b0_ref[0] = jnp.where(take, w0, b0_ref[0])
-                b1_ref[0] = jnp.where(take, w1, b1_ref[0])
+                if emit_frags:
+                    fid = fid_ref[0, 0, 0, k]
+                    face_ref[0] = jnp.where(take, fid, face_ref[0])
+                    b0_ref[0] = jnp.where(take, w0, b0_ref[0])
+                    b1_ref[0] = jnp.where(take, w1, b1_ref[0])
                 a = 0
                 for j in range(n_lin):
                     val = (
@@ -212,19 +228,24 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
     zspan = jnp.maximum(zmean.max() - zlo, 1e-6)
     zq = jnp.clip((zmean - zlo) / zspan * 1023.0, 0, 1023).astype(jnp.int32)
 
+    # pack (strip·1024 + zq) << 14 | fid into ONE int32 and single-array
+    # sort: halves the sort network's data movement vs sort_key_val pairs
+    # (22.7 -> 17.8 ms at training scale).  Bits: key ≤ 65·1024 (17 b),
+    # fid < 16384 (14 b) — 31 bits, sign-safe.
+    assert f < (1 << 14)
     fid = jnp.arange(f, dtype=jnp.int32)
-    keys, vals = [], []
+    packed = []
     for dr in range(row_cand):
         r = r0 + dr
         row_ok = (r <= r1) & (r >= 0) & (r < n_row)
         for ci, c in enumerate((c0, c1)):
             col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1 > c0))
             ok = row_ok & col_ok
-            keys.append(jnp.where(ok, (r * n_col + c) * 1024 + zq, s * 1024))
-            vals.append(fid)
-    keys = jnp.concatenate(keys)
-    vals = jnp.concatenate(vals)
-    keys, vals = jax.lax.sort_key_val(keys, vals)
+            key = jnp.where(ok, (r * n_col + c) * 1024 + zq, s * 1024)
+            packed.append((key << 14) | fid)
+    packed = jnp.sort(jnp.concatenate(packed))
+    keys = packed >> 14
+    vals = packed & 0x3FFF
 
     n = vals.shape[0]
     n_pad = -(-n // FACE_CHUNK) * FACE_CHUNK
@@ -258,7 +279,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
 
 def _rasterize_binned_impl(
     verts_screen, faces, image_size, k_max, row_cand,
-    lin_attrs=None, const_attrs=None, z_grads=False,
+    lin_attrs=None, const_attrs=None, z_grads=False, emit_frags=True,
 ):
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
@@ -297,39 +318,47 @@ def _rasterize_binned_impl(
     k_slots = k_max + FACE_CHUNK
     num_chunks = k_slots // FACE_CHUNK
     grid = (b, s, num_chunks)
-    kernel = _make_kernel(n_col_strips, n_lin, n_const, z_grads)
+    kernel = _make_kernel(n_col_strips, n_lin, n_const, z_grads, emit_frags)
     # SMEM blocks: last two dims must equal the array's — lay the (strip,
     # chunk) axes out flat so every block is a full trailing slab
     bounds_in = bounds.reshape(b, s, 1, 2)
     coefs_in = coefs.reshape(
         b, s * num_chunks, FACE_CHUNK, n_rows
     ).swapaxes(-1, -2)  # (…, n_rows, FACE_CHUNK) — lane-major chunks
-    fids_in = fids.reshape(b, s * num_chunks, 1, FACE_CHUNK)
-    out_shapes = [
-        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-    ] + [jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * n_attr_out
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, n_rows, FACE_CHUNK),
-                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+    n_frag_out = 4 if emit_frags else 1
+    out_shapes = [jax.ShapeDtypeStruct((b, h, w), jnp.float32)]
+    if emit_frags:
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ]
+    out_shapes += [jax.ShapeDtypeStruct((b, h, w), jnp.float32)] * n_attr_out
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, n_rows, FACE_CHUNK),
+            lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    inputs = [bounds_in, coefs_in]
+    if emit_frags:
+        in_specs.append(
             pl.BlockSpec(
                 (1, 1, 1, FACE_CHUNK),
                 lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
                 memory_space=pltpu.SMEM,
-            ),
-        ],
+            )
+        )
+        inputs.append(fids.reshape(b, s * num_chunks, 1, FACE_CHUNK))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, STRIP_ROWS, STRIP_COLS),
@@ -337,17 +366,23 @@ def _rasterize_binned_impl(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * (4 + n_attr_out),
+        * (n_frag_out + n_attr_out),
         out_shape=out_shapes,
-    )(bounds_in, coefs_in, fids_in)
-    depth, face, b0, b1 = outs[:4]
-    attr_planes = outs[4:]
+    )(*inputs)
+    depth = outs[0]
+    attr_planes = outs[n_frag_out:]
     mask = depth < BIG_DEPTH
-    face = jnp.where(mask, face, -1)
-    b0 = jnp.where(mask, b0, 0.0)
-    b1 = jnp.where(mask, b1, 0.0)
-    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
-    bary = jnp.where(mask[..., None], bary, 0.0)
+    if emit_frags:
+        face, b0, b1 = outs[1:4]
+        face = jnp.where(mask, face, -1)
+        b0 = jnp.where(mask, b0, 0.0)
+        b1 = jnp.where(mask, b1, 0.0)
+        bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
+        bary = jnp.where(mask[..., None], bary, 0.0)
+    else:
+        # fused consumers use only mask + depth (+ attr planes)
+        face = jnp.where(mask, 0, -1)
+        bary = jnp.zeros((b, h, w, 3), jnp.float32)
     frags = Fragments(face_idx=face, bary=bary, depth=depth)
     planes = (
         jnp.stack(attr_planes, axis=-1) if attr_planes else None
@@ -381,7 +416,8 @@ def rasterize_binned(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "k_max", "row_cand", "z_grads")
+    jax.jit,
+    static_argnames=("image_size", "k_max", "row_cand", "z_grads", "emit_frags"),
 )
 def rasterize_binned_with_attrs(
     verts_screen: jax.Array,
@@ -392,6 +428,7 @@ def rasterize_binned_with_attrs(
     z_grads: bool = False,
     k_max: int = 896,
     row_cand: int = _ROW_CAND,
+    emit_frags: bool = True,
 ):
     """Binned rasterization with in-kernel (ROP-style) attribute
     interpolation: the winner's attributes are emitted as image planes
@@ -404,10 +441,15 @@ def rasterize_binned_with_attrs(
     :param z_grads: also emit the winner's (za, zb) screen-space depth
         gradients — enough to reconstruct positions and face normals
         analytically from (x, y, depth) without any gather
+    :param emit_frags: False drops the face-id/bary outputs and their
+        per-face kernel selects (fragments carry only mask + depth) — the
+        fused render path's configuration (the kernel is VPU-op-bound, see
+        _make_kernel).
     :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow);
         plane values are 0 on uncovered pixels.
     """
     return _rasterize_binned_impl(
         verts_screen, faces, image_size, k_max, row_cand,
         lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
+        emit_frags=emit_frags,
     )

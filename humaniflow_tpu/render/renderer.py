@@ -333,17 +333,22 @@ class TexturedIUVRenderer:
         faces = self.dp["faces"]
         wh = float(self.img_wh)
 
-        uv_tri = jnp.stack([self.dp["u"], self.dp["v"]], axis=-1)[faces][None]
-        lin_parts = [jnp.broadcast_to(uv_tri, (b,) + uv_tri.shape[1:])]
+        # Interpolate ATLAS UV in-kernel and derive the IUV (u, v) planes
+        # from it post-raster: within a face, atlas_u = (col(part) + u)/4
+        # and atlas_v = (row(part) + 1 - v)/6 are exact linear relations
+        # (col/row constant per part), so u/v reconstruct elementwise —
+        # two fewer attribute planes and 6 fewer gathered coefficient rows
+        # per face (the kernel is VPU-op-bound; docs/DESIGN.md).
+        au_tri = jnp.stack(
+            [self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1
+        )[faces][None]
+        lin_parts = [jnp.broadcast_to(au_tri, (b,) + au_tri.shape[1:])]
         per_pixel_tex = False
         if want_rgb:
             if textures is not None and self.texture_sampling == "pixel":
-                # faithful per-pixel atlas lookup (reference semantics):
-                # interpolate atlas UV in-kernel, gather texels in XLA
-                au_tri = jnp.stack(
-                    [self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1
-                )[faces][None]
-                lin_parts.append(jnp.broadcast_to(au_tri, (b,) + au_tri.shape[1:]))
+                # faithful per-pixel atlas lookup (reference semantics,
+                # TexturesUV): texels gathered in XLA from the in-kernel
+                # -interpolated atlas UV
                 per_pixel_tex = True
             elif textures is not None:
                 # fast path: sample the atlas once per DP vertex and let the
@@ -374,19 +379,23 @@ class TexturedIUVRenderer:
         frags, planes, _overflow = rasterize_binned_with_attrs(
             screen, faces, self.img_wh,
             lin_attrs=lin, const_attrs=part_const, z_grads=want_rgb,
-            row_cand=self.binned_row_cand,
+            row_cand=self.binned_row_cand, emit_frags=False,
         )
         mask = frags.mask
-        u_px, v_px = planes[..., 0], planes[..., 1]
+        atlas_uv = planes[..., 0:2]
         i = 2
-        if want_rgb and per_pixel_tex:
-            atlas_uv = planes[..., 2:4]
-            i = 4
-        elif want_rgb:
+        if want_rgb and not per_pixel_tex:
             albedo = planes[..., 2:5]
             i = 5
         part = planes[..., i]
         i += 1
+
+        # u, v from atlas uv + part (see above); 0 on uncovered pixels
+        pm1 = jnp.maximum(part - 1.0, 0.0)
+        tile_row = jnp.floor(pm1 / 4.0)
+        tile_col = pm1 - 4.0 * tile_row
+        u_px = jnp.where(mask, 4.0 * atlas_uv[..., 0] - tile_col, 0.0)
+        v_px = jnp.where(mask, 1.0 - (6.0 * atlas_uv[..., 1] - tile_row), 0.0)
 
         out = {
             "iuv_images": jnp.stack([part, u_px, v_px], axis=-1),
