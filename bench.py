@@ -137,7 +137,9 @@ def bench_train(cfg, model, params, smpl):
     renderer = TexturedIUVRenderer(
         img_wh=IMG, projection_type="perspective",
         focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
-        rasterizer="binned",  # training-data renders use the binned kernel
+        # training-data renders: binned kernel + per-face pre-lit texels,
+        # no UV planes (same configuration as scripts/run_train.py)
+        rasterizer="binned", texture_sampling="face", emit_uv=False,
     )
     synth = make_synth_data_fn(cfg, smpl, renderer)
     optimizer = optax.adam(cfg.TRAIN.LR)

@@ -189,24 +189,28 @@ def make_eval_step(
 
 
 def _render_sample_silhouettes(renderer, verts_samples, cam_wp, chunk=8):
-    """Silhouettes for all (B, N) sample meshes as a (B, N, wh, wh) bool mask.
+    """Silhouettes for all (B, N) sample meshes as a (B, N, wh, wh) bool mask,
+    plus the summed binning-overflow count (0 ⇒ masks exactly match the
+    XLA coverage scan).
 
-    Renders `chunk` samples per call through the renderer's jitted EXACT
-    coverage path (flipping verts to the y-down render convention, same
-    cam as the point estimate — reference evaluate_humaniflow.py:209-224).
-    Chunking bounds peak rasterizer memory at large N (SSP-3D runs N=100).
-    (A binned-kernel variant measured SLOWER at this scale — see the note
-    in render/renderer.py.)
+    Renders `chunk` samples per call through the renderer's jitted coverage
+    path (flipping verts to the y-down render convention, same cam as the
+    point estimate — reference evaluate_humaniflow.py:209-224): the binned
+    coverage kernel on TPU (~3x the exact scan's throughput — docs/DESIGN.md
+    "Evaluation-protocol performance"), the exact scan elsewhere.  Chunking
+    bounds peak rasterizer memory at large N (SSP-3D runs N=100).
     """
     b, n, v = verts_samples.shape[:3]
     sils = []
+    overflow = jnp.zeros((), jnp.int32)
     for s0 in range(0, n, chunk):
         k = min(chunk, n - s0)
         flat = _flip_x(verts_samples[:, s0 : s0 + k]).reshape(b * k, v, 3)
         cam = jnp.broadcast_to(cam_wp[:, None], (b, k, 3)).reshape(b * k, 3)
-        mask = renderer.render_silhouette(flat, cam)
+        mask, ov = renderer.render_silhouette_with_overflow(flat, cam)
+        overflow = overflow + ov.sum()
         sils.append(mask.reshape(b, k, *mask.shape[1:]).astype(bool))
-    return jnp.concatenate(sils, axis=1)
+    return jnp.concatenate(sils, axis=1), overflow
 
 
 def evaluate_humaniflow(
@@ -253,6 +257,7 @@ def evaluate_humaniflow(
         key = jax.random.PRNGKey(0)
 
     fname_list, pose_list, shape_list, cam_list = [], [], [], []
+    sil_overflow = jnp.zeros((), jnp.int32)  # one host sync at the end
     for batch in batch_iterator(eval_dataset, batch_size):
         b = batch["image"].shape[0]
         genders = batch.pop("gender", ["n"] * b)
@@ -291,9 +296,10 @@ def evaluate_humaniflow(
             if j2d_vis is not None:
                 target["joints2D_vis"] = jnp.asarray(j2d_vis)
         if compute_silhouettes and renderer is not None and silhouette_target is not None:
-            sil = renderer.render_silhouette(
+            sil, ov = renderer.render_silhouette_with_overflow(
                 extra["verts_flipped_point_est"], extra["cam_wp"]
             )
+            sil_overflow = sil_overflow + ov.sum()
             pred["silhouettes"] = sil
             target["silhouettes"] = jnp.asarray(silhouette_target)
             if compute_sil_samples and compute_samples:
@@ -302,10 +308,11 @@ def evaluate_humaniflow(
                 # evaluate_humaniflow.py:209-224 loops renders per sample;
                 # here each chunked call rasterizes B·chunk meshes at once
                 # through the jitted coverage path).
-                pred["silhouettessamples"] = _render_sample_silhouettes(
+                pred["silhouettessamples"], ov_s = _render_sample_silhouettes(
                     renderer, pred["verts3D_samples"], extra["cam_wp"],
                     chunk=silhouette_sample_chunk,
                 )
+                sil_overflow = sil_overflow + ov_s
 
         tracker.update_per_batch(pred, target, b, model_input=proxy)
 
@@ -314,6 +321,16 @@ def evaluate_humaniflow(
             pose_list.append(np.asarray(extra["pose_rotmats_point_est"]))
             shape_list.append(np.asarray(extra["shape_mode"]))
             cam_list.append(np.asarray(extra["cam_wp"]))
+
+    if compute_silhouettes and renderer is not None:
+        ov_total = int(np.asarray(sil_overflow))
+        if ov_total > 0:
+            print(
+                f"WARNING: silhouette binning overflowed {ov_total} "
+                "(face, strip) pairs — silhouette-IOU metrics may deviate "
+                "from the exact scan; re-run with a higher "
+                "binned_row_cand/k_max or silhouette_backend='exact'."
+            )
 
     final_metrics = tracker.compute_final_metrics(num_verts=smpl_neutral.num_verts)
 

@@ -114,6 +114,62 @@ def bbox_from_keypoints(
     return centre, max(float(y2 - y1), min_size), max(float(x2 - x1), min_size)
 
 
+def select_central_keypoint_cluster(
+    joints2d: np.ndarray,
+    confs: np.ndarray,
+    img_h: float,
+    img_w: float,
+    conf_threshold: float = 0.5,
+    link_factor: float = 0.3,
+) -> np.ndarray:
+    """Visibility mask for the dominant, most-central keypoint cluster.
+
+    When an uncropped image contains several people, the whole-image HRNet
+    pass's per-joint argmax mixes joints across persons; a bbox over ALL
+    confident keypoints then spans everyone.  This mirrors the reference's
+    centre-most person-box choice (`predict/predict_hrnet.py:55-76`) at the
+    keypoint level: single-linkage clustering of the confident keypoints
+    (link distance = link_factor · max(H, W)), keep the cluster with the
+    most joints, ties broken by centroid distance to the image centre.
+
+    :param joints2d: (17, 2) keypoints as (x, y) in source-image coords.
+    :return: (17,) bool mask — confident AND in the selected cluster.
+    """
+    vis = confs > conf_threshold
+    idx = np.where(vis)[0]
+    if idx.size <= 1:
+        return vis
+    pts = joints2d[idx].astype(np.float64)
+    thresh = link_factor * max(float(img_h), float(img_w))
+
+    parent = np.arange(idx.size)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    for i in range(idx.size):
+        for j in range(i + 1, idx.size):
+            if d2[i, j] < thresh * thresh:
+                parent[find(i)] = find(j)
+
+    roots = np.array([find(i) for i in range(idx.size)])
+    centre = np.array([img_w / 2.0, img_h / 2.0])
+    best_root, best_key = None, None
+    for r in np.unique(roots):
+        members = roots == r
+        centroid = pts[members].mean(0)
+        key = (int(members.sum()), -float(((centroid - centre) ** 2).sum()))
+        if best_key is None or key > best_key:
+            best_root, best_key = r, key
+    mask = np.zeros_like(vis)
+    mask[idx[roots == best_root]] = True
+    return mask
+
+
 def _crop_to_hrnet_input(
     images: Sequence[np.ndarray],
     centres: np.ndarray,
@@ -207,8 +263,17 @@ def predict_hrnet_batch(
         refined = False
         for i in needs_fallback:
             src_j2d = (j2d_np[i] - transes[i]) / scales[i]
+            # multi-person guard: restrict the bbox to the dominant,
+            # most-central keypoint cluster (reference picks the centre-most
+            # Mask-RCNN person box, predict_hrnet.py:55-76)
+            h_i, w_i = images[i].shape[:2]
+            keep = select_central_keypoint_cluster(
+                src_j2d, confs_np[i], h_i, w_i,
+                conf_threshold=keypoint_conf_threshold,
+            )
             bbox = bbox_from_keypoints(
-                src_j2d, confs_np[i], conf_threshold=keypoint_conf_threshold
+                src_j2d, np.where(keep, confs_np[i], 0.0),
+                conf_threshold=keypoint_conf_threshold,
             )
             if bbox is not None:
                 centres[i] = bbox[0]

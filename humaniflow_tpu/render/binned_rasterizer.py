@@ -107,6 +107,8 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
     Slots outside [lo, hi) hold neighbouring strips' faces (the windows are
     128-aligned) — they are masked out via a scalar broadcast into `take`.
     """
+    n_attr = n_lin + n_const + (2 if z_grads else 0)
+
     def kernel(bounds_ref, coef_ref, *rest):
         if emit_frags:
             fid_ref, depth_ref, face_ref, b0_ref, b1_ref, *attr_refs = rest
@@ -141,9 +143,15 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
                 .astype(jnp.float32) + col0 + 0.5
             )
 
-            def body(k, _):
-                g = ck * FACE_CHUNK + k
-                live = (g >= lo) & (g < hi)
+            # z-buffer + attribute planes live in vector REGISTERS across
+            # the candidate loop (one (8,128) vreg each); the VMEM refs are
+            # read/written once per chunk, not once per candidate — cutting
+            # the kernel's VMEM traffic ~10x (measured 146 -> 96 ms
+            # kernel+bin at training scale).  The loop runs only the live
+            # slot range [lo_k, hi_k) (dynamic fori_loop bounds), replacing
+            # the per-slot `live` mask and skipping dead slots entirely.
+            def body(k, carry):
+                depth = carry[0]
                 w0 = (
                     coef_ref[0, 0, 0, k] * gx
                     + coef_ref[0, 0, 1, k] * gy
@@ -160,41 +168,61 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
                     + coef_ref[0, 0, 7, k] * gy
                     + coef_ref[0, 0, 8, k]
                 )
-                take = live & (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (z < depth_ref[0])
-                depth_ref[0] = jnp.where(take, z, depth_ref[0])
+                take = (
+                    (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0) & (z < depth)
+                )
+                out = [jnp.where(take, z, depth)]
+                i = 1
                 if emit_frags:
                     fid = fid_ref[0, 0, 0, k]
-                    face_ref[0] = jnp.where(take, fid, face_ref[0])
-                    b0_ref[0] = jnp.where(take, w0, b0_ref[0])
-                    b1_ref[0] = jnp.where(take, w1, b1_ref[0])
-                a = 0
+                    out.append(jnp.where(take, fid, carry[i]))
+                    out.append(jnp.where(take, w0, carry[i + 1]))
+                    out.append(jnp.where(take, w1, carry[i + 2]))
+                    i += 3
                 for j in range(n_lin):
                     val = (
                         coef_ref[0, 0, 9 + 3 * j, k] * w0
                         + coef_ref[0, 0, 10 + 3 * j, k] * w1
                         + coef_ref[0, 0, 11 + 3 * j, k]
                     )
-                    attr_refs[a][0] = jnp.where(take, val, attr_refs[a][0])
-                    a += 1
+                    out.append(jnp.where(take, val, carry[i]))
+                    i += 1
                 for j in range(n_const):
                     c = coef_ref[0, 0, 9 + 3 * n_lin + j, k]
-                    attr_refs[a][0] = jnp.where(take, c, attr_refs[a][0])
-                    a += 1
+                    out.append(jnp.where(take, c, carry[i]))
+                    i += 1
                 if z_grads:
-                    attr_refs[a][0] = jnp.where(
-                        take, coef_ref[0, 0, 6, k], attr_refs[a][0]
+                    out.append(
+                        jnp.where(take, coef_ref[0, 0, 6, k], carry[i])
                     )
-                    attr_refs[a + 1][0] = jnp.where(
-                        take, coef_ref[0, 0, 7, k], attr_refs[a + 1][0]
+                    out.append(
+                        jnp.where(take, coef_ref[0, 0, 7, k], carry[i + 1])
                     )
-                return 0
+                    i += 2
+                return tuple(out)
 
-            jax.lax.fori_loop(0, FACE_CHUNK, body, 0)
+            carry = [depth_ref[0]]
+            if emit_frags:
+                carry += [face_ref[0], b0_ref[0], b1_ref[0]]
+            carry += [attr_refs[a][0] for a in range(n_attr)]
+            lo_k = jnp.maximum(lo - ck * FACE_CHUNK, 0)
+            hi_k = jnp.minimum(hi - ck * FACE_CHUNK, FACE_CHUNK)
+            carry = jax.lax.fori_loop(lo_k, hi_k, body, tuple(carry))
+            depth_ref[0] = carry[0]
+            i = 1
+            if emit_frags:
+                face_ref[0] = carry[1]
+                b0_ref[0] = carry[2]
+                b1_ref[0] = carry[3]
+                i = 4
+            for a in range(n_attr):
+                attr_refs[a][0] = carry[i + a]
 
     return kernel
 
 
-def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
+def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
+               n_coef=_NCOEF, cull_sign=0):
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
@@ -206,6 +234,12 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
         row_cand·8 px are dropped (counted in overflow).  6 covers real
         SMPL meshes at training scale with margin; raise it for meshes
         with heavily stretched triangles (sort cost scales linearly).
+    :param cull_sign: 0 = keep all faces; ±1 = back-face culling, keeping
+        faces whose signed screen area has that sign.  For a CLOSED
+        consistently-wound mesh the coverage union (silhouette) is exactly
+        the front-face union — culling halves the candidate load and the
+        per-strip occupancy, so k_max overflow vanishes at body scale.
+        Culled faces are excluded from the overflow count.
     """
     n_row = h // STRIP_ROWS
     n_col = w // STRIP_COLS
@@ -233,6 +267,14 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
     # (22.7 -> 17.8 ms at training scale).  Bits: key ≤ 65·1024 (17 b),
     # fid < 16384 (14 b) — 31 bits, sign-safe.
     assert f < (1 << 14)
+    if cull_sign != 0:
+        x0, y0 = tri[:, 0], tri[:, 1]
+        x1, y1 = tri[:, 3], tri[:, 4]
+        x2, y2 = tri[:, 6], tri[:, 7]
+        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        keep = (area * cull_sign) > 0
+    else:
+        keep = None
     fid = jnp.arange(f, dtype=jnp.int32)
     packed = []
     for dr in range(row_cand):
@@ -241,6 +283,8 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
         for ci, c in enumerate((c0, c1)):
             col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1 > c0))
             ok = row_ok & col_ok
+            if keep is not None:
+                ok = ok & keep
             key = jnp.where(ok, (r * n_col + c) * 1024 + zq, s * 1024)
             packed.append((key << 14) | fid)
     packed = jnp.sort(jnp.concatenate(packed))
@@ -257,7 +301,10 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
     raw = start[1:] - start[:-1]
     counts = jnp.minimum(raw, k_max)
     overflow = jnp.maximum(raw - k_max, 0).sum()
-    overflow = overflow + ((r1 - r0 > row_cand - 1) | (c1 - c0 > 1)).sum()
+    tall = (r1 - r0 > row_cand - 1) | (c1 - c0 > 1)
+    if keep is not None:
+        tall = tall & keep
+    overflow = overflow + tall.sum()
 
     # 128-aligned window rows: row gathers are ~16x faster than elementwise
     row_lo = start[:-1] // FACE_CHUNK
@@ -270,9 +317,9 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None):
     lo = start[:-1] - row_lo * FACE_CHUNK
     bounds = jnp.stack([lo, lo + counts], axis=-1)  # (S, 2)
 
-    coefs = _edge_plane_coeffs(tri)  # (F, 9)
+    coefs = _edge_plane_coeffs(tri)[..., :n_coef]  # (F, n_coef)
     if extra_rows is not None:
-        coefs = jnp.concatenate([coefs, extra_rows], axis=-1)  # (F, 9+A)
+        coefs = jnp.concatenate([coefs, extra_rows], axis=-1)  # (F, n_coef+A)
     gathered = coefs[fids]  # (S, K_slots, 9+A) — fids are always in [0, F)
     return bounds, fids, gathered, overflow
 
@@ -388,6 +435,133 @@ def _rasterize_binned_impl(
         jnp.stack(attr_planes, axis=-1) if attr_planes else None
     )  # (B, H, W, n_lin + n_const [+ za, zb])
     return frags, planes, overflow
+
+
+def _make_coverage_kernel(n_col_strips):
+    """Coverage-only kernel: no z-test, no attributes — per-candidate work
+    is two edge-plane FMAs + an inside test + one select (~half the full
+    kernel), and the binning gathers only the 6 edge-coefficient rows.
+    Exact whenever overflow == 0 (the candidate set is identical to the
+    full kernel's); with z-sorted candidates, overflow drops only the
+    FARTHEST faces — for a closed body mesh those are back-surface faces
+    whose pixels the front surface already covers."""
+
+    def kernel(bounds_ref, coef_ref, cover_ref):
+        ck = pl.program_id(2)
+
+        @pl.when(ck == 0)
+        def _init():
+            cover_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+
+        lo = bounds_ref[0, 0, 0, 0]
+        hi = bounds_ref[0, 0, 0, 1]
+
+        @pl.when((ck * FACE_CHUNK < hi) & ((ck + 1) * FACE_CHUNK > lo))
+        def _rasterize():
+            si = pl.program_id(1)
+            row0 = ((si // n_col_strips) * STRIP_ROWS).astype(jnp.float32)
+            col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
+            gy = (
+                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 0)
+                .astype(jnp.float32) + row0 + 0.5
+            )
+            gx = (
+                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 1)
+                .astype(jnp.float32) + col0 + 0.5
+            )
+
+            # register-resident coverage accumulator + live-range loop (see
+            # _make_kernel)
+            def body(k, cover):
+                w0 = (
+                    coef_ref[0, 0, 0, k] * gx
+                    + coef_ref[0, 0, 1, k] * gy
+                    + coef_ref[0, 0, 2, k]
+                )
+                w1 = (
+                    coef_ref[0, 0, 3, k] * gx
+                    + coef_ref[0, 0, 4, k] * gy
+                    + coef_ref[0, 0, 5, k]
+                )
+                w2 = 1.0 - w0 - w1  # same rounding as the full kernel
+                inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
+                return jnp.where(inside, 1.0, cover)
+
+            lo_k = jnp.maximum(lo - ck * FACE_CHUNK, 0)
+            hi_k = jnp.minimum(hi - ck * FACE_CHUNK, FACE_CHUNK)
+            cover_ref[0] = jax.lax.fori_loop(lo_k, hi_k, body, cover_ref[0])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "k_max", "row_cand", "cull_sign")
+)
+def rasterize_binned_coverage(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: int,
+    k_max: int = 896,
+    row_cand: int = _ROW_CAND,
+    cull_sign: int = 0,
+):
+    """Coverage-only binned rasterization — the silhouette hot path.
+
+    Same binning as `rasterize_binned` but gathers only the 6 edge
+    -coefficient rows and runs a no-z/no-attribute kernel: ~3x cheaper per
+    mesh than the full binned raster and ~3x cheaper than the exact XLA
+    coverage scan at SSP-3D sample-silhouette scale (docs/DESIGN.md
+    "Evaluation-protocol performance").
+
+    :return: (mask (B, H, W) bool, overflow (B,) int32).  The mask is
+        EXACT (identical to rasterizer.rasterize_coverage) whenever the
+        overflow count is 0 — callers on metric-bearing paths should check
+        it (eval accumulates it into its batched host sync).
+    """
+    b = verts_screen.shape[0]
+    f = faces.shape[0]
+    h = w = image_size
+    assert h % STRIP_ROWS == 0 and w % STRIP_COLS == 0
+    assert k_max % FACE_CHUNK == 0
+    n_col_strips = w // STRIP_COLS
+    s = (h // STRIP_ROWS) * n_col_strips
+
+    tri = verts_screen[:, faces].reshape(b, f, 9)
+    bounds, fids, coefs, overflow = jax.vmap(
+        lambda t: _bin_faces(
+            t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign
+        )
+    )(tri)
+
+    k_slots = k_max + FACE_CHUNK
+    num_chunks = k_slots // FACE_CHUNK
+    grid = (b, s, num_chunks)
+    bounds_in = bounds.reshape(b, s, 1, 2)
+    coefs_in = coefs.reshape(b, s * num_chunks, FACE_CHUNK, 6).swapaxes(-1, -2)
+    cover = pl.pallas_call(
+        _make_coverage_kernel(n_col_strips),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 6, FACE_CHUNK),
+                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, STRIP_ROWS, STRIP_COLS),
+                lambda bi, si, ck: (bi, si // n_col_strips, si % n_col_strips),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)],
+    )(bounds_in, coefs_in)[0]
+    return cover > 0.5, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("image_size", "k_max", "row_cand"))

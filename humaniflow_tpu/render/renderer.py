@@ -74,6 +74,10 @@ def load_densepose_uv(mat_path: Optional[str] = None):
         "v": jnp.asarray(v, jnp.float32),
         "atlas_u": jnp.asarray(atlas_u, jnp.float32),
         "atlas_v": jnp.asarray(atlas_v, jnp.float32),
+        # face-centroid atlas UV (faces never span part tiles, so the mean
+        # stays inside the face's tile) — texture_sampling="face" lookups
+        "face_atlas_u": jnp.asarray(atlas_u[faces].mean(1), jnp.float32),
+        "face_atlas_v": jnp.asarray(atlas_v[faces].mean(1), jnp.float32),
     }
 
 
@@ -119,9 +123,23 @@ class TexturedIUVRenderer:
     binned_row_cand: int = 6
     # binned backend texture filtering: "pixel" = per-pixel atlas lookup
     # (reference semantics, one XLA gather pass); "vertex" = sample texels
-    # once per DP vertex and interpolate in-kernel (faster, loses sub-face
-    # texture detail)
+    # once per DP vertex and interpolate in-kernel (loses sub-face texture
+    # detail); "face" = one texel per face centroid carried as an in-kernel
+    # constant attribute with flat (per-face) lighting folded in — at
+    # training scale faces project to ~1-2 px so per-face texels keep
+    # per-pixel-level texture frequency while removing the per-pixel atlas
+    # gather AND the shading planes entirely (docs/DESIGN.md "Texture
+    # sampling modes")
     texture_sampling: str = "pixel"
+    # binned backend: skip the atlas-UV attribute planes and emit U=V=0 in
+    # iuv_images — for consumers that only use the part channel (the
+    # training synth-data path reads iuv[..., 0] and rgb only)
+    emit_uv: bool = True
+    # binned backend: per-strip face-candidate capacity.  Candidates are
+    # z-sorted near-to-far within each strip, so overflow drops only the
+    # FARTHEST (z-buffer-occluded) faces — lower values cut the coefficient
+    # -gather and kernel-chunk cost (see binned_rasterizer.rasterize_binned)
+    binned_k_max: int = 896
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
@@ -137,6 +155,15 @@ class TexturedIUVRenderer:
         # None→array change simply retraces)
         self._render_jit = jax.jit(self._render)
         self._silhouette_jit = jax.jit(self._render_silhouette_impl)
+        # silhouette-with-overflow routing: the binned coverage kernel where
+        # Pallas is available, the exact scan elsewhere
+        self._sil_binned = (
+            jax.default_backend() != "cpu" and self.img_wh % 128 == 0
+        )
+        if self._sil_binned:
+            self._silhouette_binned_jit = jax.jit(
+                self._render_silhouette_binned_impl
+            )
 
     def _rasterize(self, screen_verts):
         """Rasterize with the configured backend (see `rasterizer` field).
@@ -229,7 +256,7 @@ class TexturedIUVRenderer:
             # fused path: the Pallas kernel interpolates attributes in-kernel
             # (ROP-style) — no post-raster gathers (docs/DESIGN.md)
             return self._render_binned_fused(
-                screen, cam_t, orthographic_scale, textures,
+                screen, dp_verts, cam_t, orthographic_scale, textures,
                 lights_rgb_settings, verts_features, want_rgb,
             )
         frags, faces, face_part = self._rasterize(screen)
@@ -319,19 +346,38 @@ class TexturedIUVRenderer:
         return out
 
     def _render_binned_fused(
-        self, screen, cam_t, orthographic_scale, textures,
+        self, screen, dp_verts, cam_t, orthographic_scale, textures,
         lights_rgb_settings, verts_features, want_rgb,
     ):
         """Fused binned-rasterizer render: attributes (UV, part id, albedo
         source) are interpolated INSIDE the Pallas kernel and positions/
         normals reconstructed analytically from (x, y, depth, ∂z/∂x, ∂z/∂y)
         — zero post-raster gathers.  The round-1 gather-based resolve cost
-        ~150 ms/batch at training scale (docs/DESIGN.md)."""
+        ~150 ms/batch at training scale (docs/DESIGN.md).
+
+        texture_sampling="face" goes further: one pre-lit texel per face
+        (flat per-face Lambert folded into the constant attribute), so the
+        kernel emits finished RGB — no per-pixel texture gather, no depth
+        -gradient planes, no post-raster shading math.  Exactly equal to
+        flat-normal shading evaluated at the face centroid (light direction
+        varies negligibly across a 1-2 px face at training scale)."""
         from .binned_rasterizer import rasterize_binned_with_attrs
 
         b = screen.shape[0]
         faces = self.dp["faces"]
         wh = float(self.img_wh)
+
+        lights = dict(DEFAULT_LIGHTS)
+        if lights_rgb_settings is not None:
+            lights.update(lights_rgb_settings)
+
+        face_tex = want_rgb and textures is not None and (
+            self.texture_sampling == "face"
+        )
+        per_pixel_tex = want_rgb and textures is not None and (
+            self.texture_sampling == "pixel"
+        )
+        emit_uv = self.emit_uv or per_pixel_tex  # pixel mode needs atlas UV
 
         # Interpolate ATLAS UV in-kernel and derive the IUV (u, v) planes
         # from it post-raster: within a face, atlas_u = (col(part) + u)/4
@@ -339,20 +385,47 @@ class TexturedIUVRenderer:
         # (col/row constant per part), so u/v reconstruct elementwise —
         # two fewer attribute planes and 6 fewer gathered coefficient rows
         # per face (the kernel is VPU-op-bound; docs/DESIGN.md).
-        au_tri = jnp.stack(
-            [self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1
-        )[faces][None]
-        lin_parts = [jnp.broadcast_to(au_tri, (b,) + au_tri.shape[1:])]
-        per_pixel_tex = False
-        if want_rgb:
-            if textures is not None and self.texture_sampling == "pixel":
-                # faithful per-pixel atlas lookup (reference semantics,
-                # TexturesUV): texels gathered in XLA from the in-kernel
-                # -interpolated atlas UV
-                per_pixel_tex = True
+        lin_parts = []
+        if emit_uv:
+            au_tri = jnp.stack(
+                [self.dp["atlas_u"], self.dp["atlas_v"]], axis=-1
+            )[faces][None]
+            lin_parts.append(jnp.broadcast_to(au_tri, (b,) + au_tri.shape[1:]))
+        const_parts = []
+        if want_rgb and not per_pixel_tex:
+            if face_tex:
+                # one texel per face centroid, pre-lit with flat per-face
+                # Lambert — the kernel's const-attr select emits final RGB
+                th, tw = textures.shape[1:3]
+                fx = jnp.round(jnp.clip(
+                    self.dp["face_atlas_u"] * (tw - 1), 0, tw - 1
+                )).astype(jnp.int32)
+                fy = jnp.round(jnp.clip(
+                    self.dp["face_atlas_v"] * (th - 1), 0, th - 1
+                )).astype(jnp.int32)
+                texel_f = jax.vmap(lambda t: t[fy, fx])(textures)  # (B, F, 3)
+                tri_w = dp_verts[:, faces]  # (B, F, 3, 3) world-space
+                n = jnp.cross(
+                    tri_w[:, :, 1] - tri_w[:, :, 0],
+                    tri_w[:, :, 2] - tri_w[:, :, 0],
+                )
+                n = n / jnp.maximum(
+                    jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
+                )
+                cen = tri_w.mean(2)
+                ldir = lights["location"][:, None, :] - cen
+                ldir = ldir / jnp.maximum(
+                    jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-8
+                )
+                lam = jnp.abs(jnp.sum(n * ldir, axis=-1, keepdims=True))
+                scale = (
+                    lights["ambient_color"][:, None, :]
+                    + lights["diffuse_color"][:, None, :] * lam
+                )
+                const_parts.append(texel_f * scale)
             elif textures is not None:
-                # fast path: sample the atlas once per DP vertex and let the
-                # kernel barycentrically interpolate texels (bilinear-ish
+                # sample the atlas once per DP vertex and let the kernel
+                # barycentrically interpolate texels (bilinear-ish
                 # filtering; loses sub-face texture detail)
                 th, tw = textures.shape[1:3]
                 tx = jnp.round(
@@ -373,29 +446,43 @@ class TexturedIUVRenderer:
                     )
                 )
                 lin_parts.append(vf[:, faces])
-        lin = jnp.concatenate(lin_parts, axis=-1)
-        part_const = self.dp["face_part"].astype(jnp.float32)[None, :, None]
+        lin = jnp.concatenate(lin_parts, axis=-1) if lin_parts else None
+        const_parts.append(
+            jnp.broadcast_to(
+                self.dp["face_part"].astype(jnp.float32)[None, :, None],
+                (b, faces.shape[0], 1),
+            )
+        )
+        const = jnp.concatenate(const_parts, axis=-1)
+        z_grads = want_rgb and not face_tex
 
         frags, planes, _overflow = rasterize_binned_with_attrs(
             screen, faces, self.img_wh,
-            lin_attrs=lin, const_attrs=part_const, z_grads=want_rgb,
-            row_cand=self.binned_row_cand, emit_frags=False,
+            lin_attrs=lin, const_attrs=const, z_grads=z_grads,
+            k_max=self.binned_k_max, row_cand=self.binned_row_cand,
+            emit_frags=False,
         )
         mask = frags.mask
-        atlas_uv = planes[..., 0:2]
-        i = 2
+        # plane layout: [atlas uv?][lin albedo?][lit rgb?][part][za zb?]
+        i = 0
+        if emit_uv:
+            atlas_uv = planes[..., 0:2]
+            i = 2
         if want_rgb and not per_pixel_tex:
-            albedo = planes[..., 2:5]
-            i = 5
+            albedo = planes[..., i:i + 3]
+            i += 3
         part = planes[..., i]
         i += 1
 
-        # u, v from atlas uv + part (see above); 0 on uncovered pixels
-        pm1 = jnp.maximum(part - 1.0, 0.0)
-        tile_row = jnp.floor(pm1 / 4.0)
-        tile_col = pm1 - 4.0 * tile_row
-        u_px = jnp.where(mask, 4.0 * atlas_uv[..., 0] - tile_col, 0.0)
-        v_px = jnp.where(mask, 1.0 - (6.0 * atlas_uv[..., 1] - tile_row), 0.0)
+        if emit_uv:
+            # u, v from atlas uv + part (see above); 0 on uncovered pixels
+            pm1 = jnp.maximum(part - 1.0, 0.0)
+            tile_row = jnp.floor(pm1 / 4.0)
+            tile_col = pm1 - 4.0 * tile_row
+            u_px = jnp.where(mask, 4.0 * atlas_uv[..., 0] - tile_col, 0.0)
+            v_px = jnp.where(mask, 1.0 - (6.0 * atlas_uv[..., 1] - tile_row), 0.0)
+        else:
+            u_px = v_px = jnp.zeros_like(part)
 
         out = {
             "iuv_images": jnp.stack([part, u_px, v_px], axis=-1),
@@ -403,6 +490,12 @@ class TexturedIUVRenderer:
             "silhouettes": mask.astype(jnp.float32),
         }
         if not want_rgb:
+            return out
+        if face_tex:
+            # albedo is already lit per-face RGB; clip is exact here because
+            # the lighting scale is constant within a face
+            rgb = jnp.clip(albedo, 0.0, 1.0)
+            out["rgb_images"] = jnp.where(mask[..., None], rgb, 0.0)
             return out
 
         za, zb = planes[..., i], planes[..., i + 1]
@@ -459,9 +552,6 @@ class TexturedIUVRenderer:
             jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
         )
 
-        lights = dict(DEFAULT_LIGHTS)
-        if lights_rgb_settings is not None:
-            lights.update(lights_rgb_settings)
         light_dir = lights["location"][:, None, None, :] - pix_pos
         light_dir = light_dir / jnp.maximum(
             jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-8
@@ -473,27 +563,52 @@ class TexturedIUVRenderer:
         out["rgb_images"] = jnp.where(mask[..., None], rgb, 0.0)
         return out
 
-    def _render_silhouette_impl(self, vertices, cam_wp):
-        from .rasterizer import rasterize_coverage
-
+    def _sil_screen(self, vertices, cam_wp):
         cam_t = jnp.stack(
             [cam_wp[:, 1], cam_wp[:, 2], jnp.full_like(cam_wp[:, 0], 2.5)], axis=-1
         )
         scale = cam_wp[:, [0, 0]]
         dp_verts = vertices[:, self.dp["vertex_map"]]
-        screen = self._screen_verts(dp_verts, cam_t, scale)
+        return self._screen_verts(dp_verts, cam_t, scale)
+
+    def _render_silhouette_impl(self, vertices, cam_wp):
+        from .rasterizer import rasterize_coverage
+
+        screen = self._sil_screen(vertices, cam_wp)
         mask = rasterize_coverage(screen, self.dp["faces"], self.img_wh, chunk=self.chunk)
         return mask.astype(jnp.float32)
 
+    def _render_silhouette_binned_impl(self, vertices, cam_wp):
+        from .binned_rasterizer import rasterize_binned_coverage
+
+        screen = self._sil_screen(vertices, cam_wp)
+        mask, overflow = rasterize_binned_coverage(
+            screen, self.dp["faces"], self.img_wh,
+            row_cand=self.binned_row_cand,
+        )
+        return mask.astype(jnp.float32), overflow
+
     def render_silhouette(self, vertices, cam_wp):
-        """Fast silhouette-only path (coverage mask, no IUV interpolation) for
-        eval IOU: weak-perspective cam (B, 3) = (scale, tx, ty) (reference
-        eval: cam_t from cam_wp with z=2.5, evaluate_humaniflow.py:120-122)."""
+        """Silhouette-only path (coverage mask, no IUV interpolation) for
+        eval IOU through the exact coverage scan: weak-perspective cam
+        (B, 3) = (scale, tx, ty) (reference eval: cam_t from cam_wp with
+        z=2.5, evaluate_humaniflow.py:120-122)."""
         return self._silhouette_jit(vertices, cam_wp)
 
-    # NOTE: a binned-kernel silhouette path was measured at B=320 sample
-    # -silhouette scale and is SLOWER than the exact coverage scan (15.6 s vs
-    # 8.3 s per SSP-3D batch): the binning prologue (candidate sort + face
-    # -table gathers) is a per-mesh fixed cost ~1.9 ms, the same order as
-    # the exact scan's ~2.6 ms VPU-bound test work — so no approximate
-    # backend is offered for metric-bearing silhouettes (docs/DESIGN.md).
+    def render_silhouette_with_overflow(self, vertices, cam_wp):
+        """Silhouette masks plus a per-mesh overflow count.
+
+        On TPU (img_wh % 128 == 0) this routes through the coverage
+        -specialized binned kernel (`rasterize_binned_coverage`) — ~3x the
+        exact scan's throughput at SSP-3D sample-silhouette scale, and
+        IDENTICAL output whenever overflow == 0 (callers accumulate the
+        count into their batched host sync and fall back/warn if it ever
+        fires; measured 0 at body-mesh scale).  Elsewhere it is the exact
+        scan with overflow ≡ 0.
+
+        :return: (mask (B, wh, wh) f32, overflow (B,) int32).
+        """
+        if self._sil_binned:
+            return self._silhouette_binned_jit(vertices, cam_wp)
+        mask = self._silhouette_jit(vertices, cam_wp)
+        return mask, jnp.zeros((vertices.shape[0],), jnp.int32)

@@ -19,6 +19,10 @@ def main():
     parser.add_argument("--save_path", "-S", type=str, default=None)
     parser.add_argument("--extreme_crop_scale", type=float, default=None)
     parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel evaluation over the first N "
+                             "devices (jax.sharding 1-D data mesh); "
+                             "default single-device")
     args = parser.parse_args()
 
     from humaniflow_tpu.configs import load_config, paths
@@ -72,10 +76,17 @@ def main():
             render_rgb=False,
         )
 
+    mesh = None
+    if args.num_devices:
+        from humaniflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+
     final = evaluate_humaniflow(
         model, params, smpl_neutral, smpl_male, smpl_female, cfg, dataset,
         metrics, batch_size=args.batch_size, num_pred_samples=args.num_samples,
         save_path=save_path, save_per_frame_metrics=True, renderer=renderer,
+        mesh=mesh,
     )
     print(final)
 

@@ -26,6 +26,10 @@ def main():
                         help="use torchvision Mask-RCNN (CPU) for person bboxes")
     parser.add_argument("--cfg", type=str, default=None)
     parser.add_argument("--visualise", "-V", action="store_true")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel inference over the first N "
+                             "devices (jax.sharding 1-D data mesh); "
+                             "default single-device")
     args = parser.parse_args()
 
     import numpy as np
@@ -119,10 +123,17 @@ def main():
     bbox_heights = hr["bbox_heights"]
     bbox_widths = hr["bbox_widths"]
 
+    mesh = None
+    if args.num_devices:
+        from humaniflow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+
     pred = predict_humaniflow(
         model, params, smpl, cfg,
         images, joints2d, hr["joints2Dconfs"],
         num_samples=args.num_samples, save_dir=args.save_dir, fnames=fnames,
+        mesh=mesh,
         extras={
             "bbox_centre": bbox_centres,
             "bbox_height": bbox_heights,

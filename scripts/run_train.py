@@ -68,8 +68,12 @@ def main():
         focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH,
         # synthetic-data renders use the binned Pallas rasterizer (~17x the
         # XLA backend on TPU; <0.1% boundary-pixel difference — noise at the
-        # level of the augmentations applied on top)
-        rasterizer="binned",
+        # level of the augmentations applied on top) with per-face pre-lit
+        # texels and no UV planes: the train pipeline consumes only
+        # iuv[..., 0] and rgb, and faces project to ~1-2 px at 256² so
+        # face-centroid texels keep pixel-level texture frequency
+        # (docs/DESIGN.md "Texture sampling modes")
+        rasterizer="binned", texture_sampling="face", emit_uv=False,
     )
     model = HumaniflowModel(cfg.MODEL)
 

@@ -103,6 +103,79 @@ def test_keypoint_bbox_fallback_recentres_on_person():
     assert off["bbox_heights"][0] == h
 
 
+def test_select_central_cluster_two_person():
+    """Unit: with keypoints split across two spatially separated people, the
+    dominant central cluster wins and the off-centre person is masked out
+    (VERDICT r2 item 7; reference centre-most box choice
+    predict/predict_hrnet.py:55-76)."""
+    # central person: 11 joints near (250, 250); corner person: 6 joints
+    # near (60, 60) in a 500x500 image
+    rng = np.random.default_rng(0)
+    j2d = np.concatenate([
+        250.0 + rng.uniform(-40, 40, size=(11, 2)),
+        60.0 + rng.uniform(-25, 25, size=(6, 2)),
+    ]).astype(np.float32)
+    confs = np.full(17, 0.9, np.float32)
+    confs[3] = 0.1  # one central joint below threshold
+    mask = ph.select_central_keypoint_cluster(j2d, confs, 500, 500)
+    assert mask[:11].sum() == 10  # all confident central joints kept
+    assert not mask[3]
+    assert not mask[11:].any()  # corner person fully dropped
+
+    # equal-size clusters: centre-most wins
+    j2d2 = np.concatenate([
+        250.0 + rng.uniform(-30, 30, size=(8, 2)),
+        40.0 + rng.uniform(-20, 20, size=(8, 2)),
+        [[499.0, 499.0]],
+    ]).astype(np.float32)
+    confs2 = np.full(17, 0.9, np.float32)
+    confs2[16] = 0.0
+    mask2 = ph.select_central_keypoint_cluster(j2d2, confs2, 500, 500)
+    assert mask2[:8].all() and not mask2[8:].any()
+
+    # single person: everything confident survives
+    j2d3 = (250.0 + rng.uniform(-60, 60, size=(17, 2))).astype(np.float32)
+    mask3 = ph.select_central_keypoint_cluster(j2d3, confs, 500, 500)
+    np.testing.assert_array_equal(mask3, confs > 0.5)
+
+
+def test_fallback_two_person_image_picks_central():
+    """Integration: a two-blob image through the keypoint-bbox fallback
+    re-crops onto the central blob, not the bbox union of both."""
+    hrnet = _TwoBlobHRNet()
+    img = np.zeros((400, 400, 3), np.float32) + 0.05
+    img[170:230, 170:230] = 1.0   # central person
+    img[20:70, 20:70] = 0.95      # corner person
+    out = ph.predict_hrnet_batch(hrnet, {}, [img], bboxes=[None])
+    c = out["bbox_centres"][0]
+    # bbox centred on the central blob: a union bbox would sit near
+    # ((200+45)/2 ≈ 122); the cluster pick stays within the central blob
+    assert 150 < c[0] < 250 and 150 < c[1] < 250
+    assert out["bbox_heights"][0] < 200.0  # not the two-person union
+
+
+class _TwoBlobHRNet:
+    """Heatmaps whose per-joint argmax alternates between the two brightest
+    blobs: even joints peak at the brightest pixel, odd joints at the
+    second-brightest region — emulating cross-person argmax mixing."""
+
+    def apply(self, params, x, train=False):
+        b, h4, w4, _ = x.shape
+        h, w = h4 // 4, w4 // 4
+        img = x.mean(-1).reshape(b, h, 4, w, 4).mean(axis=(2, 4))
+        # second map: suppress a window around the global max
+        flat_idx = jnp.argmax(img.reshape(b, -1), axis=-1)
+        my, mx = flat_idx // w, flat_idx % w
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+        near = (jnp.abs(yy - my[:, None, None]) < 12) & (
+            jnp.abs(xx - mx[:, None, None]) < 12
+        )
+        img2 = jnp.where(near, 0.0, img)
+        maps = [img if j % 2 == 0 else img2 for j in range(17)]
+        return jnp.stack(maps, axis=-1)
+
+
 def test_single_image_wrapper_matches_batch():
     hrnet = _FakeHRNet()
     img = _image_with_blob(200, 160, 100, 80)
