@@ -200,7 +200,9 @@ def bench_hrnet():
     from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
 
     ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
-    hrnet = PoseHighResolutionNet()
+    # bf16 conv compute — the predict CLI default (params/BN stay f32;
+    # 302.8 -> 613.2 img/s at B=16, docs/DESIGN.md "HRNet-W48 throughput")
+    hrnet = PoseHighResolutionNet(dtype=jnp.bfloat16)
     params = hrnet.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 384, 288, 3)), train=False
     )
@@ -214,6 +216,54 @@ def bench_hrnet():
         "images_per_sec": b / dt,
         "latency_ms_per_batch": dt * 1000,
         "mfu_bf16_peak": flops / dt / _device_peak_flops() if flops else None,
+    }
+
+
+def bench_optimise(cfg, model, params, smpl):
+    """Flow-prior-guided refinement (reference
+    optimise/optimise_humaniflow.py:72-137): the full 81-iteration SGD loop
+    over (pose, glob, shape, cam) as ONE jitted fori_loop, batch 32.  Each
+    iteration is a fwd+bwd through SMPL + the conditional-flow log-prob, so
+    the loop is ~162 model+SMPL passes per batch."""
+    from humaniflow_tpu.configs import get_optimise_cfg_defaults
+    from humaniflow_tpu.pipelines.optimise import (
+        optimise_batch_with_humaniflow_prior,
+    )
+
+    b = 32
+    ocfg = get_optimise_cfg_defaults()
+    rng = np.random.default_rng(5)
+    init = {
+        "shape": jnp.asarray(rng.normal(scale=0.5, size=(b, 10)), jnp.float32),
+        "pose_axisangle": jnp.asarray(
+            rng.normal(scale=0.2, size=(b, 23, 3)), jnp.float32
+        ),
+        "glob_axisangle": jnp.asarray(
+            rng.normal(scale=0.2, size=(b, 3)), jnp.float32
+        ),
+        "cam_wp": jnp.tile(jnp.asarray([[0.9, 0.0, 0.2]], jnp.float32), (b, 1)),
+        "input_feats": jax.random.normal(
+            jax.random.PRNGKey(6), (b, model.feat_dim)
+        ),
+        "joints2D": jnp.asarray(
+            rng.uniform(64, 192, size=(b, 17, 2)), jnp.float32
+        ),
+        "joints2D_conf": jnp.ones((b, 17), jnp.float32),
+    }
+
+    def run():
+        out = optimise_batch_with_humaniflow_prior(
+            model, params, smpl, ocfg, init, img_wh=IMG
+        )
+        return out["shape"]
+
+    dt = _timed(run, n_iters=5)
+    return {
+        "batch": b,
+        "num_iters": ocfg.NUM_ITERS,
+        "images_per_sec": b / dt,
+        "latency_ms_per_batch": dt * 1000,
+        "latency_ms_per_iter": dt * 1000 / ocfg.NUM_ITERS,
     }
 
 
@@ -235,6 +285,10 @@ def main():
         hrnet = bench_hrnet()
     except Exception as e:
         hrnet = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        optimise = bench_optimise(cfg, model, params, smpl)
+    except Exception as e:
+        optimise = {"error": f"{type(e).__name__}: {e}"}
 
     detail = {
         "batch": BATCH,
@@ -250,6 +304,10 @@ def main():
         "hrnet": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in hrnet.items()
+        },
+        "optimise": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in optimise.items()
         },
         "device": str(jax.devices()[0]),
     }

@@ -222,7 +222,8 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
 
 
 def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
-               n_coef=_NCOEF, cull_sign=0):
+               n_coef=_NCOEF, cull_sign=0, tall_cap=None, z_order=True,
+               live_cap=None):
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
@@ -240,6 +241,16 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
         the front-face union — culling halves the candidate load and the
         per-strip occupancy, so k_max overflow vanishes at body scale.
         Culled faces are excluded from the overflow count.
+    :param tall_cap: two-level binning.  The candidate sort dominates the
+        binning cost and its size scales with row_cand (measured TPU v5e,
+        13774 faces: 0.11 ms/mesh at row_cand=2 vs 0.96 ms at 16) — but
+        almost all faces of a body mesh span ≤ 2 row-strips.  With
+        tall_cap=M, ALL faces enter a 2-row main table and only the first
+        M faces spanning ≥ 3 row-strips enter a side table covering rows
+        2..row_cand-1; both are packed into ONE sort of
+        f·4 + M·(row_cand-2)·2 keys instead of f·row_cand·2.  Tall faces
+        beyond M lose their upper rows (counted in overflow).  None = flat
+        single-level binning (row_cand rows for every face).
     """
     n_row = h // STRIP_ROWS
     n_col = w // STRIP_COLS
@@ -256,11 +267,18 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
 
     # sort candidates by (strip, quantized face depth): within a strip the
     # window is near-to-far, so k_max overflow drops only the FARTHEST
-    # (z-buffer-occluded) faces — overflow becomes harmless at body scale
-    zmean = tri[:, 2::3].mean(1)
-    zlo = zmean.min()
-    zspan = jnp.maximum(zmean.max() - zlo, 1e-6)
-    zq = jnp.clip((zmean - zlo) / zspan * 1023.0, 0, 1023).astype(jnp.int32)
+    # (z-buffer-occluded) faces — overflow becomes harmless at body scale.
+    # z_order=False (coverage: no z-buffer, order-independent) zeroes the
+    # depth bits so each strip window is ASCENDING in face id — the
+    # downstream per-slot coefficient gather then reads near-sequentially
+    # (measured ~3x faster than the z-shuffled gather)
+    if z_order:
+        zmean = tri[:, 2::3].mean(1)
+        zlo = zmean.min()
+        zspan = jnp.maximum(zmean.max() - zlo, 1e-6)
+        zq = jnp.clip((zmean - zlo) / zspan * 1023.0, 0, 1023).astype(jnp.int32)
+    else:
+        zq = jnp.zeros((f,), jnp.int32)
 
     # pack (strip·1024 + zq) << 14 | fid into ONE int32 and single-array
     # sort: halves the sort network's data movement vs sort_key_val pairs
@@ -276,17 +294,33 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     else:
         keep = None
     fid = jnp.arange(f, dtype=jnp.int32)
-    packed = []
-    for dr in range(row_cand):
-        r = r0 + dr
-        row_ok = (r <= r1) & (r >= 0) & (r < n_row)
-        for ci, c in enumerate((c0, c1)):
-            col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1 > c0))
-            ok = row_ok & col_ok
-            if keep is not None:
-                ok = ok & keep
-            key = jnp.where(ok, (r * n_col + c) * 1024 + zq, s * 1024)
-            packed.append((key << 14) | fid)
+    keep_all = keep if keep is not None else jnp.ones((f,), bool)
+
+    def entries(dr_range, r0_, r1_, c0_, c1_, zq_, fid_, valid):
+        out = []
+        for dr in dr_range:
+            r = r0_ + dr
+            row_ok = (r <= r1_) & (r >= 0) & (r < n_row) & valid
+            for ci, c in enumerate((c0_, c1_)):
+                col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1_ > c0_))
+                ok = row_ok & col_ok
+                key = jnp.where(ok, (r * n_col + c) * 1024 + zq_, s * 1024)
+                out.append((key << 14) | fid_)
+        return out
+
+    main_rows = row_cand if tall_cap is None else min(2, row_cand)
+    packed = entries(range(main_rows), r0, r1, c0, c1, zq, fid, keep_all)
+    overflow_tall = jnp.zeros((), jnp.int32)
+    if tall_cap is not None and row_cand > main_rows:
+        tall_m = (r1 - r0 > main_rows - 1) & keep_all & (r1 >= 0) & (r0 < n_row)
+        n_tall = tall_m.sum().astype(jnp.int32)
+        tidx = jnp.nonzero(tall_m, size=tall_cap, fill_value=0)[0].astype(jnp.int32)
+        tvalid = jnp.arange(tall_cap, dtype=jnp.int32) < n_tall
+        packed += entries(
+            range(main_rows, row_cand),
+            r0[tidx], r1[tidx], c0[tidx], c1[tidx], zq[tidx], tidx, tvalid,
+        )
+        overflow_tall = jnp.maximum(n_tall - tall_cap, 0)
     packed = jnp.sort(jnp.concatenate(packed))
     keys = packed >> 14
     vals = packed & 0x3FFF
@@ -304,7 +338,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     tall = (r1 - r0 > row_cand - 1) | (c1 - c0 > 1)
     if keep is not None:
         tall = tall & keep
-    overflow = overflow + tall.sum()
+    overflow = overflow + tall.sum() + overflow_tall
 
     # 128-aligned window rows: row gathers are ~16x faster than elementwise
     row_lo = start[:-1] // FACE_CHUNK
@@ -320,13 +354,35 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     coefs = _edge_plane_coeffs(tri)[..., :n_coef]  # (F, n_coef)
     if extra_rows is not None:
         coefs = jnp.concatenate([coefs, extra_rows], axis=-1)  # (F, n_coef+A)
-    gathered = coefs[fids]  # (S, K_slots, 9+A) — fids are always in [0, F)
+    if live_cap is not None and live_cap < n_pad:
+        # prefix coefficient gather: the random per-slot gather is the
+        # binning's top cost (issue-bound, ~1.2 ns/element — 0.66 ms/mesh
+        # at coverage scale) and S·K_slots is ~5x the number of LIVE
+        # candidates.  Sentinel entries sort to the tail, so gathering
+        # coefficients for the first `live_cap` sorted entries and then
+        # building the slot tables with 128-aligned ROW gathers does ~4x
+        # less random-gather work.  Live candidates beyond the cap read a
+        # never-inside pad block (c0 = -1) and are counted in overflow.
+        assert live_cap % FACE_CHUNK == 0
+        c = coefs.shape[-1]
+        n_live = start[s]  # first sentinel position in the sorted order
+        overflow = overflow + jnp.maximum(n_live - live_cap, 0)
+        cpre = coefs[vals[:live_cap]].reshape(
+            live_cap // FACE_CHUNK, FACE_CHUNK, c
+        )
+        pad_blk = jnp.zeros((1, FACE_CHUNK, c), coefs.dtype).at[..., 2].set(-1.0)
+        cpre = jnp.concatenate([cpre, pad_blk], axis=0)
+        ridx_c = jnp.minimum(ridx, live_cap // FACE_CHUNK)
+        gathered = cpre[ridx_c].reshape(s, -1, c)  # (S, K_slots, c)
+    else:
+        gathered = coefs[fids]  # (S, K_slots, 9+A) — fids always in [0, F)
     return bounds, fids, gathered, overflow
 
 
 def _rasterize_binned_impl(
     verts_screen, faces, image_size, k_max, row_cand,
     lin_attrs=None, const_attrs=None, z_grads=False, emit_frags=True,
+    tall_cap=None,
 ):
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
@@ -355,11 +411,12 @@ def _rasterize_binned_impl(
     tri = verts_screen[:, faces].reshape(b, f, 9)
     if extra is None:
         bounds, fids, coefs, overflow = jax.vmap(
-            lambda t: _bin_faces(t, f, h, w, k_max, row_cand)
+            lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap)
         )(tri)
     else:
         bounds, fids, coefs, overflow = jax.vmap(
-            lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e)
+            lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e,
+                                    tall_cap=tall_cap)
         )(tri, extra)
 
     k_slots = k_max + FACE_CHUNK
@@ -447,63 +504,61 @@ def _make_coverage_kernel(n_col_strips):
     whose pixels the front surface already covers."""
 
     def kernel(bounds_ref, coef_ref, cover_ref):
-        ck = pl.program_id(2)
+        si = pl.program_id(1)
+        row0 = ((si // n_col_strips) * STRIP_ROWS).astype(jnp.float32)
+        col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 0)
+            .astype(jnp.float32) + row0 + 0.5
+        )
+        gx = (
+            jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 1)
+            .astype(jnp.float32) + col0 + 0.5
+        )
 
-        @pl.when(ck == 0)
-        def _init():
-            cover_ref[0] = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+        # register-resident coverage accumulator + live-range loop (see
+        # _make_kernel); the whole candidate window is ONE SMEM block (the
+        # grid has no chunk dimension), so there is exactly one instance —
+        # and one VMEM store — per (batch, strip)
+        def body(k, cover):
+            w0 = (
+                coef_ref[0, 0, 0, k] * gx
+                + coef_ref[0, 0, 1, k] * gy
+                + coef_ref[0, 0, 2, k]
+            )
+            w1 = (
+                coef_ref[0, 0, 3, k] * gx
+                + coef_ref[0, 0, 4, k] * gy
+                + coef_ref[0, 0, 5, k]
+            )
+            w2 = 1.0 - w0 - w1  # same rounding as the full kernel
+            inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
+            return jnp.where(inside, 1.0, cover)
 
         lo = bounds_ref[0, 0, 0, 0]
         hi = bounds_ref[0, 0, 0, 1]
-
-        @pl.when((ck * FACE_CHUNK < hi) & ((ck + 1) * FACE_CHUNK > lo))
-        def _rasterize():
-            si = pl.program_id(1)
-            row0 = ((si // n_col_strips) * STRIP_ROWS).astype(jnp.float32)
-            col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
-            gy = (
-                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 0)
-                .astype(jnp.float32) + row0 + 0.5
-            )
-            gx = (
-                jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 1)
-                .astype(jnp.float32) + col0 + 0.5
-            )
-
-            # register-resident coverage accumulator + live-range loop (see
-            # _make_kernel)
-            def body(k, cover):
-                w0 = (
-                    coef_ref[0, 0, 0, k] * gx
-                    + coef_ref[0, 0, 1, k] * gy
-                    + coef_ref[0, 0, 2, k]
-                )
-                w1 = (
-                    coef_ref[0, 0, 3, k] * gx
-                    + coef_ref[0, 0, 4, k] * gy
-                    + coef_ref[0, 0, 5, k]
-                )
-                w2 = 1.0 - w0 - w1  # same rounding as the full kernel
-                inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
-                return jnp.where(inside, 1.0, cover)
-
-            lo_k = jnp.maximum(lo - ck * FACE_CHUNK, 0)
-            hi_k = jnp.minimum(hi - ck * FACE_CHUNK, FACE_CHUNK)
-            cover_ref[0] = jax.lax.fori_loop(lo_k, hi_k, body, cover_ref[0])
+        cover_ref[0] = jax.lax.fori_loop(
+            lo, hi, body, jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+        )
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "k_max", "row_cand", "cull_sign")
+    jax.jit,
+    static_argnames=(
+        "image_size", "k_max", "row_cand", "cull_sign", "tall_cap", "live_cap",
+    ),
 )
 def rasterize_binned_coverage(
     verts_screen: jax.Array,
     faces: jax.Array,
     image_size: int,
-    k_max: int = 896,
-    row_cand: int = _ROW_CAND,
+    k_max: int = 1280,
+    row_cand: int = 16,
     cull_sign: int = 0,
+    tall_cap: int = 4096,
+    live_cap: int = 32768,
 ):
     """Coverage-only binned rasterization — the silhouette hot path.
 
@@ -529,33 +584,33 @@ def rasterize_binned_coverage(
     tri = verts_screen[:, faces].reshape(b, f, 9)
     bounds, fids, coefs, overflow = jax.vmap(
         lambda t: _bin_faces(
-            t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign
+            t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign,
+            tall_cap=tall_cap, z_order=False, live_cap=live_cap,
         )
     )(tri)
 
     k_slots = k_max + FACE_CHUNK
-    num_chunks = k_slots // FACE_CHUNK
-    grid = (b, s, num_chunks)
+    grid = (b, s)
     bounds_in = bounds.reshape(b, s, 1, 2)
-    coefs_in = coefs.reshape(b, s * num_chunks, FACE_CHUNK, 6).swapaxes(-1, -2)
+    coefs_in = coefs.swapaxes(-1, -2)  # (b, s, 6, k_slots)
     cover = pl.pallas_call(
         _make_coverage_kernel(n_col_strips),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
+                (1, 1, 1, 2), lambda bi, si: (bi, si, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 6, FACE_CHUNK),
-                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                (1, 1, 6, k_slots),
+                lambda bi, si: (bi, si, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, STRIP_ROWS, STRIP_COLS),
-                lambda bi, si, ck: (bi, si // n_col_strips, si % n_col_strips),
+                lambda bi, si: (bi, si // n_col_strips, si % n_col_strips),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -564,13 +619,16 @@ def rasterize_binned_coverage(
     return cover > 0.5, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("image_size", "k_max", "row_cand"))
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "k_max", "row_cand", "tall_cap")
+)
 def rasterize_binned(
     verts_screen: jax.Array,
     faces: jax.Array,
     image_size: int,
     k_max: int = 896,
     row_cand: int = _ROW_CAND,
+    tall_cap=None,
 ):
     """Binned rasterization (same contract as rasterizer.rasterize).
 
@@ -584,14 +642,16 @@ def rasterize_binned(
         (face, strip) pairs per batch element (0 at body-mesh scale).
     """
     frags, _, overflow = _rasterize_binned_impl(
-        verts_screen, faces, image_size, k_max, row_cand
+        verts_screen, faces, image_size, k_max, row_cand, tall_cap=tall_cap
     )
     return frags, overflow
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("image_size", "k_max", "row_cand", "z_grads", "emit_frags"),
+    static_argnames=(
+        "image_size", "k_max", "row_cand", "z_grads", "emit_frags", "tall_cap",
+    ),
 )
 def rasterize_binned_with_attrs(
     verts_screen: jax.Array,
@@ -603,6 +663,7 @@ def rasterize_binned_with_attrs(
     k_max: int = 896,
     row_cand: int = _ROW_CAND,
     emit_frags: bool = True,
+    tall_cap=None,
 ):
     """Binned rasterization with in-kernel (ROP-style) attribute
     interpolation: the winner's attributes are emitted as image planes
@@ -625,5 +686,5 @@ def rasterize_binned_with_attrs(
     return _rasterize_binned_impl(
         verts_screen, faces, image_size, k_max, row_cand,
         lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
-        emit_frags=emit_frags,
+        emit_frags=emit_frags, tall_cap=tall_cap,
     )

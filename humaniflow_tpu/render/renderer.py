@@ -121,6 +121,13 @@ class TexturedIUVRenderer:
     # row_cand·8 px are dropped; 6 covers real SMPL meshes — raise for
     # meshes with heavily stretched faces, see binned_rasterizer.py)
     binned_row_cand: int = 6
+    # silhouette path: tall-face side-table capacity for the coverage
+    # kernel's two-level binning (binned_rasterizer._bin_faces) — faces
+    # spanning ≥ 3 row-strips beyond this many lose their upper rows
+    # (counted in overflow); real SMPL meshes have essentially none.  The
+    # fused TRAIN render keeps flat row_cand=6 binning (two-level measured
+    # neutral there; the win is coverage's 16-row span at rc≈4 sort cost)
+    binned_tall_cap: int = 4096
     # binned backend texture filtering: "pixel" = per-pixel atlas lookup
     # (reference semantics, one XLA gather pass); "vertex" = sample texels
     # once per DP vertex and interpolate in-kernel (loses sub-face texture
@@ -582,9 +589,14 @@ class TexturedIUVRenderer:
         from .binned_rasterizer import rasterize_binned_coverage
 
         screen = self._sil_screen(vertices, cam_wp)
+        # coverage defaults (k_max=1280, row_cand=16, tall_cap=2048) plus
+        # back-face culling: the SMPL body mesh is CLOSED and consistently
+        # wound, so the silhouette is exactly the one-sided face union —
+        # culling halves per-strip occupancy (overflow 0 at body scale;
+        # any residual drop is counted in `overflow` for the caller)
         mask, overflow = rasterize_binned_coverage(
             screen, self.dp["faces"], self.img_wh,
-            row_cand=self.binned_row_cand,
+            k_max=1664, tall_cap=self.binned_tall_cap, cull_sign=1,
         )
         return mask.astype(jnp.float32), overflow
 

@@ -25,6 +25,9 @@ def main():
                              "default single-device")
     args = parser.parse_args()
 
+    from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from humaniflow_tpu.configs import load_config, paths
     from humaniflow_tpu.data.datasets import PW3DEvalDataset, SSP3DEvalDataset
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz

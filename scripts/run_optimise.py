@@ -22,6 +22,9 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
+    from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from humaniflow_tpu.configs import (
         get_optimise_cfg_defaults,
         load_config,

@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--checkpoint", "-C", type=str, default=None,
                         help="orbax checkpoint dir or reference .tar")
     parser.add_argument("--hrnet_checkpoint", type=str, default=None)
+    parser.add_argument("--hrnet_dtype", choices=["bf16", "f32"], default="bf16",
+                        help="HRNet conv compute dtype: bf16 (default; ~same "
+                             "keypoints, ~1.5x throughput on TPU) or f32")
     parser.add_argument("--num_samples", "-N", type=int, default=50)
     parser.add_argument("--use_detector", action="store_true",
                         help="use torchvision Mask-RCNN (CPU) for person bboxes")
@@ -34,7 +37,11 @@ def main():
 
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
+    from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from humaniflow_tpu.configs import load_config, paths
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz
     from humaniflow_tpu.models.hrnet import PoseHighResolutionNet
@@ -57,7 +64,9 @@ def main():
         print("WARNING: no checkpoint given — using random init")
         params = model.init(jax.random.PRNGKey(0))
 
-    hrnet = PoseHighResolutionNet()
+    hrnet = PoseHighResolutionNet(
+        dtype=jnp.bfloat16 if args.hrnet_dtype == "bf16" else None
+    )
     if args.hrnet_checkpoint:
         from humaniflow_tpu.utils.convert_torch import convert_hrnet_file
 

@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--num_devices", "-D", type=int, default=None)
     args = parser.parse_args()
 
+    from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from humaniflow_tpu.configs import load_config, paths, save_config
     from humaniflow_tpu.data.datasets import OnTheFlySMPLTrainDataset
     from humaniflow_tpu.models import HumaniflowModel, load_smpl_npz

@@ -143,15 +143,19 @@ def test_binned_coverage_matches_exact_scan():
     cam_wp = jnp.tile(jnp.asarray([[0.9, 0.0, 0.2]], jnp.float32), (b, 1))
     sv = project_orthographic_screen(verts[:, dp["vertex_map"]], cam_wp, 256)
 
-    mask_b, overflow = rasterize_binned_coverage(sv, dp["faces"], 256)
+    # the eval-silhouette configuration: back-face culling (closed mesh) +
+    # two-level binning at full 16-row coverage
+    mask_b, overflow = rasterize_binned_coverage(
+        sv, dp["faces"], 256, cull_sign=1
+    )
     mask_x = rasterize_coverage(sv, dp["faces"], 256, chunk=2048)
     ov = int(np.asarray(overflow).sum())
     agree = (np.asarray(mask_b) == np.asarray(mask_x)).mean()
     print(f"\n[binned-coverage] overflow={ov} agreement={agree:.7f}")
     if ov == 0:
         assert agree == 1.0
-    else:  # stretched synthetic mesh may overflow; bound the damage
-        assert agree > 0.999
+    else:  # stretched synthetic worst case may overflow; bound the damage
+        assert agree > 0.99995
 
     # renderer-level routing: with-overflow path equals the exact method
     from humaniflow_tpu.render import TexturedIUVRenderer

@@ -1,5 +1,7 @@
 """Tests for image ops (crop/uncrop), heatmaps, augmentation, and Canny."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -184,3 +186,101 @@ class TestCanny:
         assert out["blurred_img"].shape == (2, 16, 16, 3)
         assert out["grad_magnitude"].shape == (2, 16, 16, 1)
         assert out["thresholded_thin_edges"].shape == (2, 16, 16, 1)
+
+
+class TestPW3DEvalDataset:
+    """Synthetic on-disk 3DPW fixture: exercises the standard AND extreme
+    -crop loader variants (reference data/pw3d_eval_dataset.py:20-37) —
+    directory/file naming, keypoint rescaling to PROXY_REP_SIZE, visibility
+    thresholds (hip-keep vs hip-threshold), and the GT face-joint threshold
+    override."""
+
+    N, ORIG = 3, 128
+
+    def _build_dir(self, root):
+        import cv2
+
+        rng = np.random.default_rng(7)
+        for sub in ("cropped_frames", "extreme_cropped_0.5_frames"):
+            d = os.path.join(root, sub)
+            os.makedirs(d)
+            for i in range(self.N):
+                img = rng.integers(0, 255, size=(self.ORIG, self.ORIG, 3))
+                cv2.imwrite(os.path.join(d, f"f{i}.png"), img.astype(np.uint8))
+        kp = rng.uniform(0, self.ORIG, size=(self.N, 17, 3)).astype(np.float32)
+        kp[:, :, 2] = rng.uniform(0, 1, size=(self.N, 17))
+        np.save(os.path.join(root, "hrnet_results_centred.npy"), kp)
+        kp_ec = kp.copy()
+        kp_ec[:, :, :2] *= 0.5
+        np.save(
+            os.path.join(root, "extreme_cropped_0.5_hrnet_results_centred.npy"),
+            kp_ec,
+        )
+        j2d = rng.uniform(0, self.ORIG, size=(self.N, 17, 3)).astype(np.float32)
+        j2d[:, :, 2] = rng.uniform(0, 1, size=(self.N, 17))
+        j2d[:, 1:5, 2] = 0.2  # face joints: above 0.1, below 0.6
+        np.savez(
+            os.path.join(root, "3dpw_test.npz"),
+            imgname=np.array([f"f{i}.png" for i in range(self.N)]),
+            pose=rng.normal(size=(self.N, 72)).astype(np.float32),
+            shape=rng.normal(size=(self.N, 10)).astype(np.float32),
+            gender=np.array(["m", "f", "m"]),
+            joints2D_coco=j2d,
+        )
+        np.save(os.path.join(root, "extreme_cropped_0.5_joints2D.npy"), j2d * 0.5)
+        return kp, j2d
+
+    def test_standard_and_extreme_crop_variants(self, tmp_path):
+        pytest.importorskip("cv2")
+        from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
+        from humaniflow_tpu.data.datasets import PW3DEvalDataset
+
+        root = str(tmp_path / "pw3d")
+        os.makedirs(root)
+        kp, j2d = self._build_dir(root)
+        cfg = get_humaniflow_cfg_defaults()
+        wh = cfg.DATA.PROXY_REP_SIZE
+        s = wh / self.ORIG
+
+        ds = PW3DEvalDataset(root, cfg, visible_joints_threshold=0.6)
+        assert len(ds) == self.N
+        item = ds[1]
+        assert item["image"].shape == (wh, wh, 3)
+        assert item["gender"] == "f"
+        np.testing.assert_allclose(
+            item["input_joints2D"], np.round(kp[1, :, :2] * s).astype(np.int16)
+        )
+        # hips (11, 12) always visible in the non-hip-threshold mode
+        assert item["input_joints2D_vis"][[11, 12]].all()
+        # face GT joints use the 0.1 threshold (conf 0.2 → visible)
+        assert item["joints2D_visib"][1:5].all()
+        np.testing.assert_allclose(item["joints2D"], j2d[1, :, :2] * s, rtol=1e-6)
+
+        # hip-thresholding mode: hips follow the confidence like limbs
+        ds_hip = PW3DEvalDataset(
+            root, cfg, visible_joints_threshold=0.6, threshold_hip_joints=True
+        )
+        vis = ds_hip[1]["input_joints2D_vis"]
+        np.testing.assert_array_equal(vis[[11, 12]], kp[1, [11, 12], 2] > 0.6)
+        assert vis[:7].all()  # torso/head always kept
+
+        # extreme-crop variant: its own frames dir, keypoints and GT npys
+        ds_ec = PW3DEvalDataset(root, cfg, extreme_crop_scale=0.5)
+        item_ec = ds_ec[0]
+        assert item_ec["image"].shape == (wh, wh, 3)
+        np.testing.assert_allclose(
+            item_ec["input_joints2D"],
+            np.round(kp[0, :, :2] * 0.5 * s).astype(np.int16),
+        )
+        np.testing.assert_allclose(
+            item_ec["joints2D"], j2d[0, :, :2] * 0.5 * s, rtol=1e-6
+        )
+        # no threshold given: all input joints visible
+        assert item_ec["input_joints2D_vis"].all()
+
+        # batch iteration stacks across the variant dataset
+        from humaniflow_tpu.data.datasets import batch_iterator
+
+        b = next(iter(batch_iterator(ds_ec, 2)))
+        assert b["image"].shape == (2, wh, wh, 3)
+        assert list(b["gender"]) == ["m", "f"]

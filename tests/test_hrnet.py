@@ -128,3 +128,29 @@ def test_converter_structure(hrnet_and_params):
     # converted params run
     out = model.apply(converted, jnp.zeros((1, H, W, 3)), train=False)
     assert out.shape == (1, H // 4, W // 4, 17)
+
+
+def test_bf16_compute_dtype_agreement(hrnet_and_params):
+    """dtype=bf16 (the predict CLI default on TPU) keeps f32 params and f32
+    output, and at trained-magnitude activations (random init damped so the
+    residual stages don't amplify exponentially) matches f32 keypoint argmax
+    exactly with small relative heatmap error."""
+    import flax
+
+    _, params = hrnet_and_params
+    flat = flax.traverse_util.flatten_dict(params)
+    damped = flax.traverse_util.unflatten_dict(
+        {k: (v * 0.25 if k[-1] == "kernel" else v) for k, v in flat.items()}
+    )
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, H, W, 3))
+    m32 = PoseHighResolutionNet()
+    m16 = PoseHighResolutionNet(dtype=jnp.bfloat16)
+    o32 = m32.apply(damped, x, train=False)
+    o16 = m16.apply(damped, x, train=False)
+    assert o16.dtype == jnp.float32
+    rel = float(jnp.abs(o32 - o16).mean()) / float(o32.std())
+    assert rel < 0.02, rel
+    j32, _ = get_kp_locations_confs_from_heatmaps(o32)
+    j16, _ = get_kp_locations_confs_from_heatmaps(o16)
+    np.testing.assert_array_equal(np.asarray(j32), np.asarray(j16))
