@@ -382,7 +382,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
 def _rasterize_binned_impl(
     verts_screen, faces, image_size, k_max, row_cand,
     lin_attrs=None, const_attrs=None, z_grads=False, emit_frags=True,
-    tall_cap=None,
+    tall_cap=None, live_cap=None,
 ):
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
@@ -411,12 +411,13 @@ def _rasterize_binned_impl(
     tri = verts_screen[:, faces].reshape(b, f, 9)
     if extra is None:
         bounds, fids, coefs, overflow = jax.vmap(
-            lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap)
+            lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap,
+                                 live_cap=live_cap)
         )(tri)
     else:
         bounds, fids, coefs, overflow = jax.vmap(
             lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e,
-                                    tall_cap=tall_cap)
+                                    tall_cap=tall_cap, live_cap=live_cap)
         )(tri, extra)
 
     k_slots = k_max + FACE_CHUNK
@@ -651,6 +652,7 @@ def rasterize_binned(
     jax.jit,
     static_argnames=(
         "image_size", "k_max", "row_cand", "z_grads", "emit_frags", "tall_cap",
+        "live_cap",
     ),
 )
 def rasterize_binned_with_attrs(
@@ -664,6 +666,7 @@ def rasterize_binned_with_attrs(
     row_cand: int = _ROW_CAND,
     emit_frags: bool = True,
     tall_cap=None,
+    live_cap=None,
 ):
     """Binned rasterization with in-kernel (ROP-style) attribute
     interpolation: the winner's attributes are emitted as image planes
@@ -686,5 +689,5 @@ def rasterize_binned_with_attrs(
     return _rasterize_binned_impl(
         verts_screen, faces, image_size, k_max, row_cand,
         lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
-        emit_frags=emit_frags, tall_cap=tall_cap,
+        emit_frags=emit_frags, tall_cap=tall_cap, live_cap=live_cap,
     )

@@ -128,6 +128,12 @@ class TexturedIUVRenderer:
     # fused TRAIN render keeps flat row_cand=6 binning (two-level measured
     # neutral there; the win is coverage's 16-row span at rc≈4 sort cost)
     binned_tall_cap: int = 4096
+    # fused train render: live-prefix coefficient gather cap (see
+    # binned_rasterizer._bin_faces live_cap) — 118.6 -> 110.9 ms/batch at
+    # training scale with identical output; worst measured live-candidate
+    # count is 38.1k/mesh, overflowing candidates read a never-inside pad
+    # block and are counted in overflow
+    binned_live_cap: int = 49152
     # binned backend texture filtering: "pixel" = per-pixel atlas lookup
     # (reference semantics, one XLA gather pass); "vertex" = sample texels
     # once per DP vertex and interpolate in-kernel (loses sub-face texture
@@ -467,7 +473,7 @@ class TexturedIUVRenderer:
             screen, faces, self.img_wh,
             lin_attrs=lin, const_attrs=const, z_grads=z_grads,
             k_max=self.binned_k_max, row_cand=self.binned_row_cand,
-            emit_frags=False,
+            emit_frags=False, live_cap=self.binned_live_cap,
         )
         mask = frags.mask
         # plane layout: [atlas uv?][lin albedo?][lit rgb?][part][za zb?]
