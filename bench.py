@@ -117,11 +117,57 @@ def bench_inference(cfg, model, params, smpl):
     key = jax.random.PRNGKey(2)
     dt = _timed(lambda: distribution_inference(params, proxy, key), n_iters=50)
     flops = _compiled_flops(distribution_inference, params, proxy, key)
+
+    # ---- roofline companion: the headline MFU is low by construction, not
+    # by inefficiency — decompose the batch into its three dominant
+    # sub-programs and time each standalone.  The SMPL stage runs its dots
+    # at Precision.HIGHEST (6 bf16 MXU passes per dot — the validated
+    # accuracy floor, models/pallas_lbs.py precision table: DEFAULT is
+    # 0.64-12 mm of vertex error), so its *attainable* MFU against the
+    # 1-pass bf16 peak is ≤ 1/6 before counting K-padding (K = 10/24/207
+    # vs the 128-wide systolic dimension).  stage_ms makes the split
+    # measured evidence instead of DESIGN.md prose.
+    @jax.jit
+    def model_forward(params, proxy, key):
+        return model.apply(
+            params, proxy, key=key, num_samples=NUM_SAMPLES,
+            use_shape_mode_for_samples=True,
+        )
+
+    out = jax.block_until_ready(model_forward(params, proxy, key))
+    shp = out["shape_samples"].reshape(BATCH * NUM_SAMPLES, -1)
+    pose = out["pose_rotmats_samples"].reshape(BATCH * NUM_SAMPLES, 23, 3, 3)
+    glob = jnp.broadcast_to(
+        out["glob_rotmat"][:, None], (BATCH, NUM_SAMPLES, 3, 3)
+    ).reshape(BATCH * NUM_SAMPLES, 3, 3)
+
+    @jax.jit
+    def smpl_stage(shp, pose, glob):
+        return smpl_forward(smpl, shp, pose, glob)["vertices_cm"]
+
+    verts_cm = jax.block_until_ready(smpl_stage(shp, pose, glob))
+
+    @jax.jit
+    def variance_stage(verts_cm):
+        v = verts_cm.reshape(BATCH, NUM_SAMPLES, 3, NUM_VERTS)
+        s1 = v.mean(axis=1)
+        s2 = (v * v).mean(axis=1)
+        return jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)
+
+    stage_ms = {
+        "model_forward": _timed(lambda: model_forward(params, proxy, key)) * 1e3,
+        "smpl_x3200": _timed(lambda: smpl_stage(shp, pose, glob)) * 1e3,
+        "variance": _timed(lambda: variance_stage(verts_cm)) * 1e3,
+    }
     return {
         "images_per_sec": BATCH / dt,
         "latency_ms_per_batch": dt * 1000,
         "flops_per_batch": flops,
         "mfu_bf16_peak": flops / dt / _device_peak_flops() if flops else None,
+        "stage_ms": {k: round(v, 2) for k, v in stage_ms.items()},
+        # the SMPL stage's dots run 6 bf16 passes per nominal FLOP
+        # (Precision.HIGHEST) — its MFU ceiling against the 1-pass peak
+        "smpl_precision_passes": 6,
     }
 
 
@@ -219,6 +265,82 @@ def bench_hrnet():
     }
 
 
+class _SynthEvalDataset:
+    """SSP-3D-shaped synthetic payload (uint8 image + keypoints + GT pose/
+    shape/silhouette) for the protocol benchmark — matches the real
+    datasets' host→device format (data/datasets.py)."""
+
+    def __init__(self, n, img=IMG):
+        self.n = n
+        self.img = img
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        sil = np.zeros((self.img, self.img), np.uint8)
+        sil[64:192, 80:176] = 1
+        return {
+            "pose": rng.normal(scale=0.3, size=72).astype(np.float32),
+            "shape": rng.normal(scale=0.5, size=10).astype(np.float32),
+            "joints2D": rng.uniform(0, self.img, size=(17, 2)).astype(np.float32),
+            "joints2D_visib": np.ones(17, bool),
+            "fname": f"frame_{i:04d}.png",
+            "gender": "f" if i % 2 else "m",
+            "image": (rng.uniform(size=(self.img, self.img, 3)) * 255).astype(np.uint8),
+            "input_joints2D": rng.uniform(
+                0, self.img, size=(17, 2)
+            ).astype(np.float32),
+            "input_joints2D_vis": np.ones(17, bool),
+            "silhouette": sil,
+        }
+
+
+def bench_eval_protocol(cfg, model, params):
+    """The shipped SSP-3D distribution-eval protocol (reference
+    evaluate/evaluate_humaniflow.py:18-286 with the `-D ssp3d` metric list,
+    incl. silhouette-IOU + per-sample silhouettesamples-IOU at N=100):
+    images/sec end-to-end through the tunneled TPU, on synthetic
+    SSP-3D-shaped data."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.pipelines.evaluate import evaluate_humaniflow
+    from humaniflow_tpu.pipelines.protocols import EVAL_METRICS_SSP3D
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    smpl_n = synthetic_smpl(num_verts=NUM_VERTS, seed=0)
+    smpl_m = synthetic_smpl(num_verts=NUM_VERTS, seed=1)
+    smpl_f = synthetic_smpl(num_verts=NUM_VERTS, seed=2)
+    renderer = TexturedIUVRenderer(
+        img_wh=IMG, projection_type="orthographic", render_rgb=False,
+    )
+    def run(n):
+        t0 = time.perf_counter()
+        evaluate_humaniflow(
+            model, params, smpl_n, smpl_m, smpl_f, cfg,
+            _SynthEvalDataset(n), list(EVAL_METRICS_SSP3D),
+            batch_size=BATCH, num_pred_samples=NUM_SAMPLES, renderer=renderer,
+        )
+        return time.perf_counter() - t0
+
+    # evaluate_humaniflow builds its jits per call, so a single timed call
+    # mostly measures host tracing (once per CLI invocation in real use,
+    # cache-hit compiles via the persistent cache).  Steady-state protocol
+    # throughput = marginal time per extra batch between two runs — the
+    # one-time trace cost cancels.
+    run(BATCH)  # populate the persistent compile cache
+    t1 = run(BATCH)
+    t3 = run(3 * BATCH)
+    per_batch = (t3 - t1) / 2
+    return {
+        "images_per_sec": BATCH / per_batch,
+        "sec_per_batch": per_batch,
+        "first_call_overhead_sec": t1 - per_batch,
+        "num_pred_samples": NUM_SAMPLES,
+        "metrics": "ssp3d protocol (pipelines/protocols.py)",
+    }
+
+
 def bench_optimise(cfg, model, params, smpl):
     """Flow-prior-guided refinement (reference
     optimise/optimise_humaniflow.py:72-137): the full 81-iteration SGD loop
@@ -289,6 +411,10 @@ def main():
         optimise = bench_optimise(cfg, model, params, smpl)
     except Exception as e:
         optimise = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        eval_protocol = bench_eval_protocol(cfg, model, params)
+    except Exception as e:
+        eval_protocol = {"error": f"{type(e).__name__}: {e}"}
 
     detail = {
         "batch": BATCH,
@@ -297,6 +423,8 @@ def main():
         "inference_mfu_bf16_peak": (
             round(inf["mfu_bf16_peak"], 4) if inf.get("mfu_bf16_peak") else None
         ),
+        "inference_stage_ms": inf.get("stage_ms"),
+        "smpl_precision_passes": inf.get("smpl_precision_passes"),
         "train": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in train.items()
@@ -308,6 +436,10 @@ def main():
         "optimise": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in optimise.items()
+        },
+        "eval_ssp3d_protocol": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in eval_protocol.items()
         },
         "device": str(jax.devices()[0]),
     }

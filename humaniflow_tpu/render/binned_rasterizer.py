@@ -150,7 +150,7 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
             # kernel+bin at training scale).  The loop runs only the live
             # slot range [lo_k, hi_k) (dynamic fori_loop bounds), replacing
             # the per-slot `live` mask and skipping dead slots entirely.
-            def body(k, carry):
+            def candidate(k, carry, valid=None):
                 depth = carry[0]
                 w0 = (
                     coef_ref[0, 0, 0, k] * gx
@@ -171,6 +171,8 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
                 take = (
                     (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0) & (z < depth)
                 )
+                if valid is not None:
+                    take = take & valid
                 out = [jnp.where(take, z, depth)]
                 i = 1
                 if emit_frags:
@@ -207,7 +209,13 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
             carry += [attr_refs[a][0] for a in range(n_attr)]
             lo_k = jnp.maximum(lo - ck * FACE_CHUNK, 0)
             hi_k = jnp.minimum(hi - ck * FACE_CHUNK, FACE_CHUNK)
-            carry = jax.lax.fori_loop(lo_k, hi_k, body, tuple(carry))
+            # NOTE: a manually-unrolled (x2/x4) variant with scalar validity
+            # masks measured SLOWER (32.8 -> 35 ms kernel+bin at training
+            # scale) — the loop is already well-pipelined; the ragged-edge
+            # masking costs more than any scheduling gain
+            carry = jax.lax.fori_loop(
+                lo_k, hi_k, lambda k, c: candidate(k, c), tuple(carry)
+            )
             depth_ref[0] = carry[0]
             i = 1
             if emit_frags:
@@ -521,7 +529,7 @@ def _make_coverage_kernel(n_col_strips):
         # _make_kernel); the whole candidate window is ONE SMEM block (the
         # grid has no chunk dimension), so there is exactly one instance —
         # and one VMEM store — per (batch, strip)
-        def body(k, cover):
+        def candidate(k, cover, valid=None):
             w0 = (
                 coef_ref[0, 0, 0, k] * gx
                 + coef_ref[0, 0, 1, k] * gy
@@ -534,12 +542,15 @@ def _make_coverage_kernel(n_col_strips):
             )
             w2 = 1.0 - w0 - w1  # same rounding as the full kernel
             inside = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
+            if valid is not None:
+                inside = inside & valid
             return jnp.where(inside, 1.0, cover)
 
         lo = bounds_ref[0, 0, 0, 0]
         hi = bounds_ref[0, 0, 0, 1]
+        init = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
         cover_ref[0] = jax.lax.fori_loop(
-            lo, hi, body, jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+            lo, hi, lambda k, c: candidate(k, c), init
         )
 
     return kernel

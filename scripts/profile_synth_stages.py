@@ -74,9 +74,12 @@ def main():
     sd = cfg.TRAIN.SYNTH_DATA
     aug = sd.AUGMENT
     smpl = synthetic_smpl(num_verts=6890)
+    # exactly the shipped train configuration (scripts/run_train.py:69-80):
+    # binned backend, face-centroid texels, no atlas-UV planes
     renderer = TexturedIUVRenderer(
         img_wh=IMG, projection_type="perspective",
         focal_length=sd.FOCAL_LENGTH, render_rgb=True, rasterizer="binned",
+        texture_sampling="face", emit_uv=False,
     )
     edge_detector = CannyEdgeDetector(
         non_max_suppression=cfg.DATA.EDGE_NMS,

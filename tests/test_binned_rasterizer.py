@@ -324,3 +324,57 @@ def test_face_texture_mode_agreement():
     # shift by well under a pixel on average
     assert flip_rate < 0.01
     assert j2d_shift < 1.0
+
+
+def test_bin_faces_live_cap_prefix_gather_cpu():
+    """The live-prefix coefficient gather (live_cap) is pure XLA binning —
+    pinned on CPU: per-strip LIVE slot windows carry identical coefficients
+    with and without the cap whenever the cap covers the live candidates,
+    and an undersized cap adds the shortfall to overflow while the dropped
+    slots read the never-inside pad block (c0 = -1)."""
+    from humaniflow_tpu.render.binned_rasterizer import _bin_faces, FACE_CHUNK
+
+    rng = np.random.default_rng(0)
+    f, h, w = 512, 128, 128
+    # triangle soup: mostly small (1-6 px) faces scattered across the image
+    centers = rng.uniform(4, 124, size=(f, 2))
+    offsets = rng.normal(scale=2.5, size=(f, 3, 2))
+    tri_xy = centers[:, None] + offsets
+    z = rng.uniform(1.0, 3.0, size=(f, 1))
+    tri = np.concatenate(
+        [tri_xy, np.broadcast_to(z[:, :, None], (f, 3, 1))], axis=-1
+    ).reshape(f, 9).astype(np.float32)
+
+    k_max = 256
+    base = _bin_faces(jnp.asarray(tri), f, h, w, k_max)
+    bounds_b, fids_b, coefs_b, ov_b = map(np.asarray, base)
+
+    capped = _bin_faces(
+        jnp.asarray(tri), f, h, w, k_max, live_cap=4 * FACE_CHUNK * 8
+    )
+    bounds_c, fids_c, coefs_c, ov_c = map(np.asarray, capped)
+
+    np.testing.assert_array_equal(bounds_b, bounds_c)
+    np.testing.assert_array_equal(fids_b, fids_c)
+    assert int(ov_c) == int(ov_b)
+    # compare coefficients only on live slots (beyond [lo, hi) the slots
+    # hold foreign/pad data the kernel masks out)
+    for s in range(bounds_b.shape[0]):
+        lo, hi = bounds_b[s]
+        np.testing.assert_array_equal(coefs_b[s, lo:hi], coefs_c[s, lo:hi])
+
+    # undersized cap: overflow grows by the uncovered live candidates and
+    # every dropped slot reads the pad block (c0 == -1 → never inside)
+    tiny = _bin_faces(jnp.asarray(tri), f, h, w, k_max, live_cap=FACE_CHUNK)
+    bounds_t, fids_t, coefs_t, ov_t = map(np.asarray, tiny)
+    total_live = sum(
+        int(hi - lo) for lo, hi in bounds_b
+    )
+    assert int(ov_t) >= total_live - FACE_CHUNK
+    dropped_has_pad = False
+    for s in range(bounds_t.shape[0]):
+        lo, hi = bounds_t[s]
+        c0 = coefs_t[s, lo:hi, 2]
+        pad_rows = c0 == -1.0
+        dropped_has_pad = dropped_has_pad or bool(pad_rows.any())
+    assert dropped_has_pad
