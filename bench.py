@@ -188,7 +188,9 @@ def bench_train(cfg, model, params, smpl):
         rasterizer="binned", texture_sampling="face", emit_uv=False,
     )
     synth = make_synth_data_fn(cfg, smpl, renderer)
-    optimizer = optax.adam(cfg.TRAIN.LR)
+    from humaniflow_tpu.pipelines.train import make_optimizer
+
+    optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     step = jax.jit(make_train_step(model, smpl, cfg.LOSS, optimizer, img_wh=IMG))
 

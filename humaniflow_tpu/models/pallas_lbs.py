@@ -139,6 +139,11 @@ FUSED_VERT_TILE = 1024  # swept: (128,1024) 7.0 ms; (128,512) 7.4; larger tiles 
 #                               whole <0.5 mm PVE budget); 12 mm with
 #                               DEFAULT transform rows - unusable
 # The speed lever here is fusion (HBM traffic), not matmul passes.
+# Round-3 per-dot split attempts (vs f64 oracle, VT=512):
+#   pose-dot-only DEFAULT   -16%    0.25 mm max err (half the <0.5 mm
+#                                   parity budget) — rejected
+#   pose-dot-only bf16x2    SLOWER  0.0005 mm (3 dots' issue overhead
+#                                   exceeds the 3-pass saving) — rejected
 
 
 def _dot3(a, b):

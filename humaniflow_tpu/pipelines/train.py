@@ -54,6 +54,17 @@ from .train_step import make_train_step
 _COCO = np.asarray(ALL_JOINTS_TO_COCO_MAP)
 
 
+def make_optimizer(cfg: HumaniflowConfig) -> optax.GradientTransformation:
+    """Adam at the reference LR (train_humaniflow.py setup).
+
+    NOTE: `optax.flatten(adam)` times 5.9 → 0.9 ms as a STANDALONE jitted
+    update over the 128-leaf tree, but makes the fused train step SLOWER
+    (36.3 → 42.9 ms on v5e) — the flatten's grad concatenation blocks XLA
+    from fusing the per-tensor update into the backward pass epilogues.
+    Keep plain adam."""
+    return optax.adam(cfg.TRAIN.LR)
+
+
 def make_synth_data_fn(
     cfg: HumaniflowConfig, smpl: SMPLModel, renderer
 ):
@@ -213,7 +224,7 @@ def train_humaniflow(
     os.makedirs(experiment_dir, exist_ok=True)
     if key is None:
         key = jax.random.PRNGKey(0)
-    optimizer = optax.adam(cfg.TRAIN.LR)
+    optimizer = make_optimizer(cfg)
     if params is None:
         key, sub = jax.random.split(key)
         params = model.init(
