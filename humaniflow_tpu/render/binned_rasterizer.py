@@ -390,7 +390,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
 def _rasterize_binned_impl(
     verts_screen, faces, image_size, k_max, row_cand,
     lin_attrs=None, const_attrs=None, z_grads=False, emit_frags=True,
-    tall_cap=None, live_cap=None,
+    tall_cap=None, live_cap=None, cull_sign=0,
 ):
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
@@ -420,12 +420,13 @@ def _rasterize_binned_impl(
     if extra is None:
         bounds, fids, coefs, overflow = jax.vmap(
             lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap,
-                                 live_cap=live_cap)
+                                 live_cap=live_cap, cull_sign=cull_sign)
         )(tri)
     else:
         bounds, fids, coefs, overflow = jax.vmap(
             lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e,
-                                    tall_cap=tall_cap, live_cap=live_cap)
+                                    tall_cap=tall_cap, live_cap=live_cap,
+                                    cull_sign=cull_sign)
         )(tri, extra)
 
     k_slots = k_max + FACE_CHUNK
@@ -663,7 +664,7 @@ def rasterize_binned(
     jax.jit,
     static_argnames=(
         "image_size", "k_max", "row_cand", "z_grads", "emit_frags", "tall_cap",
-        "live_cap",
+        "live_cap", "cull_sign",
     ),
 )
 def rasterize_binned_with_attrs(
@@ -678,6 +679,7 @@ def rasterize_binned_with_attrs(
     emit_frags: bool = True,
     tall_cap=None,
     live_cap=None,
+    cull_sign: int = 0,
 ):
     """Binned rasterization with in-kernel (ROP-style) attribute
     interpolation: the winner's attributes are emitted as image planes
@@ -694,6 +696,15 @@ def rasterize_binned_with_attrs(
         per-face kernel selects (fragments carry only mask + depth) — the
         fused render path's configuration (the kernel is VPU-op-bound, see
         _make_kernel).
+    :param cull_sign: ±1 enables back-face culling (see _bin_faces).  For
+        a CLOSED, consistently-wound, NON-self-intersecting mesh the
+        z-buffer winner at every pixel is front-facing, so culling is
+        EXACT; the live candidate load halves (coefficient gather +
+        kernel; the sort still sees every face) — measured -13% at
+        training scale.  Self-intersecting geometry (e.g. the synthetic
+        test mesh, whose random blendshapes cross faces) exposes interior
+        back faces where culled winners differ (masks stay identical,
+        measured 100%) — keep 0 there.
     :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow);
         plane values are 0 on uncovered pixels.
     """
@@ -701,4 +712,5 @@ def rasterize_binned_with_attrs(
         verts_screen, faces, image_size, k_max, row_cand,
         lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
         emit_frags=emit_frags, tall_cap=tall_cap, live_cap=live_cap,
+        cull_sign=cull_sign,
     )

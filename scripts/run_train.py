@@ -21,6 +21,12 @@ def main():
     parser.add_argument("--cfg", type=str, default=None)
     parser.add_argument("--cfg_overrides", "-O", nargs="*", default=[])
     parser.add_argument("--num_devices", "-D", type=int, default=None)
+    parser.add_argument("--cull", action="store_true",
+                        help="back-face-cull the synthetic-data renders: "
+                             "exact and ~13%% faster for real SMPL meshes "
+                             "(closed, consistently wound, non-self-"
+                             "intersecting); leave off for meshes that "
+                             "self-intersect")
     args = parser.parse_args()
 
     from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
@@ -77,6 +83,7 @@ def main():
         # face-centroid texels keep pixel-level texture frequency
         # (docs/DESIGN.md "Texture sampling modes")
         rasterizer="binned", texture_sampling="face", emit_uv=False,
+        binned_cull=args.cull,
     )
     model = HumaniflowModel(cfg.MODEL)
 

@@ -378,3 +378,50 @@ def test_bin_faces_live_cap_prefix_gather_cpu():
         pad_rows = c0 == -1.0
         dropped_has_pad = dropped_has_pad or bool(pad_rows.any())
     assert dropped_has_pad
+
+
+@requires_tpu
+def test_fused_render_backface_culling():
+    """binned_cull=True: silhouette masks are IDENTICAL to the unculled
+    render (coverage of a closed mesh is the front-face union), and part
+    labels agree except where the synthetic mesh's self-intersecting
+    geometry exposes interior back faces (real SMPL does not — see
+    renderer.binned_cull)."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.smpl import smpl_forward
+    from humaniflow_tpu.render import TexturedIUVRenderer
+
+    smpl = synthetic_smpl(num_verts=6890)
+    b = 8
+    rng = np.random.default_rng(0)
+    shape = jnp.asarray(rng.normal(scale=0.5, size=(b, 10)), jnp.float32)
+    from humaniflow_tpu.ops.so3 import so3_exp
+
+    body = so3_exp(jnp.asarray(rng.normal(scale=0.05, size=(b, 23, 3)), jnp.float32))
+    glob = so3_exp(jnp.asarray(rng.normal(scale=0.02, size=(b, 3)), jnp.float32))
+    verts = smpl_forward(smpl, shape, body, glob)["vertices"]
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.2, 2.5]], jnp.float32), (b, 1))
+    tex = jnp.asarray(rng.uniform(size=(b, 1200, 800, 3)), jnp.float32)
+
+    out = {}
+    for cull in (False, True):
+        r = TexturedIUVRenderer(
+            img_wh=256, projection_type="perspective", focal_length=300.0,
+            render_rgb=True, rasterizer="binned", texture_sampling="face",
+            emit_uv=False, binned_cull=cull,
+        )
+        out[cull] = jax.tree_util.tree_map(
+            np.asarray, r(verts, cam_t=cam_t, textures=tex)
+        )
+    np.testing.assert_array_equal(
+        out[False]["silhouettes"], out[True]["silhouettes"]
+    )
+    # winner-level agreement is NOT asserted tightly: the synthetic mesh's
+    # random blendshapes fuzz the surface so local faces point inward
+    # everywhere (measured ~89% of all pixels here; 100% of masks).  Real
+    # SMPL surfaces have no interior back faces outside of actual limb
+    # intersections, where the nearest front face is the correct winner
+    # anyway.
+    part0 = out[False]["iuv_images"][..., 0]
+    part1 = out[True]["iuv_images"][..., 0]
+    assert (part0 == part1).mean() > 0.5
