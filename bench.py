@@ -316,28 +316,25 @@ def bench_eval_protocol(cfg, model, params):
     renderer = TexturedIUVRenderer(
         img_wh=IMG, projection_type="orthographic", render_rgb=False,
     )
-    def run(n):
-        t0 = time.perf_counter()
-        evaluate_humaniflow(
-            model, params, smpl_n, smpl_m, smpl_f, cfg,
-            _SynthEvalDataset(n), list(EVAL_METRICS_SSP3D),
-            batch_size=BATCH, num_pred_samples=NUM_SAMPLES, renderer=renderer,
-        )
-        return time.perf_counter() - t0
-
-    # evaluate_humaniflow builds its jits per call, so a single timed call
-    # mostly measures host tracing (once per CLI invocation in real use,
-    # cache-hit compiles via the persistent cache).  Steady-state protocol
-    # throughput = marginal time per extra batch between two runs — the
-    # one-time trace cost cancels.
-    run(BATCH)  # populate the persistent compile cache
-    t1 = run(BATCH)
-    t3 = run(3 * BATCH)
-    per_batch = (t3 - t1) / 2
+    # evaluate_humaniflow builds its jits per call (once per CLI
+    # invocation in real use), so the first batch of a run is dominated by
+    # host tracing + cache-hit compilation — and that overhead varies by
+    # tens of seconds through the tunneled device, so subtracting two runs
+    # is noise.  Instead the pipeline records per-batch wall times (each
+    # batch ends in the tracker's host sync); steady state = median of the
+    # post-first batches of ONE run.
+    times = []
+    evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg,
+        _SynthEvalDataset(5 * BATCH), list(EVAL_METRICS_SSP3D),
+        batch_size=BATCH, num_pred_samples=NUM_SAMPLES, renderer=renderer,
+        batch_times=times,
+    )
+    per_batch = float(np.median(times[1:]))
     return {
         "images_per_sec": BATCH / per_batch,
         "sec_per_batch": per_batch,
-        "first_call_overhead_sec": t1 - per_batch,
+        "first_batch_sec": round(times[0], 2),
         "num_pred_samples": NUM_SAMPLES,
         "metrics": "ssp3d protocol (pipelines/protocols.py)",
     }

@@ -230,12 +230,19 @@ def evaluate_humaniflow(
     key=None,
     mesh=None,
     silhouette_sample_chunk: int = 8,
+    batch_times: Optional[list] = None,
 ):
     """Full eval loop (reference: evaluate_humaniflow.py:18-286).
 
     :param mesh: optional jax.sharding.Mesh — batches are padded to the
         device count and sharded over the `data` axis (the reference has no
         multi-device evaluation; SURVEY.md §2.7).
+    :param batch_times: optional list — per-batch wall seconds are
+        appended (each batch ends in the tracker's host sync, so these are
+        true batch latencies; the first includes tracing/compilation).
+        Benchmarks use the post-first median: single-call overheads vary
+        by tens of seconds on a tunneled device, so marginal-time-between-
+        two-calls estimates are noise.
     """
     from ..data.datasets import batch_iterator
 
@@ -258,16 +265,21 @@ def evaluate_humaniflow(
 
     fname_list, pose_list, shape_list, cam_list = [], [], [], []
     sil_overflow = jnp.zeros((), jnp.int32)  # one host sync at the end
-    for batch in batch_iterator(eval_dataset, batch_size):
+
+    def prepare(batch):
+        """Host-side batch assembly + device transfer.
+
+        NOTE: running this on a worker thread (queue-depth-2 prefetch, to
+        overlap the ~1.6 s of host work with device compute) measured
+        6.1 → 16.8 s/batch on the tunneled TPU: concurrent device_put
+        breaks the amortized queued-dispatch path the tunnel depends on
+        (CLAUDE.md host-boundary rule).  Keep preparation inline."""
         b = batch["image"].shape[0]
         genders = batch.pop("gender", ["n"] * b)
         fnames = batch.pop("fname", [""] * b)
         batch["is_female"] = np.array(
             [1.0 if g.startswith("f") else 0.0 for g in genders], np.float32
         )
-        j2d_target = batch.get("joints2D")
-        j2d_vis = batch.get("joints2D_visib")
-        silhouette_target = batch.get("silhouette")
         dev_keys = ("image", "pose", "shape", "is_female")
         # prefer device-side heatmap synthesis from keypoints (tiny host →
         # device payload); fall back to pre-built heatmaps
@@ -276,7 +288,7 @@ def evaluate_humaniflow(
         else:
             dev_keys += ("heatmaps",)
         dev_batch = {
-            k: jnp.asarray(v) for k, v in batch.items() if k in dev_keys
+            k: jax.device_put(v) for k, v in batch.items() if k in dev_keys
         }
         if mesh is not None:
             from ..parallel.mesh import pad_batch_to_devices, shard_batch
@@ -284,6 +296,28 @@ def evaluate_humaniflow(
             n_dev = mesh.devices.size
             dev_batch, _ = pad_batch_to_devices(dev_batch, n_dev)
             dev_batch = shard_batch(dev_batch, mesh)
+        put = lambda v: None if v is None else jax.device_put(np.asarray(v))
+        return {
+            "b": b,
+            "fnames": fnames,
+            "dev_batch": dev_batch,
+            "joints2D": put(batch.get("joints2D")),
+            "joints2D_visib": put(batch.get("joints2D_visib")),
+            "silhouette": put(batch.get("silhouette")),
+        }
+
+    for batch in batch_iterator(eval_dataset, batch_size):
+        if batch_times is not None:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+        prepared = prepare(batch)
+        b = prepared["b"]
+        fnames = prepared["fnames"]
+        dev_batch = prepared["dev_batch"]
+        j2d_target = prepared["joints2D"]
+        j2d_vis = prepared["joints2D_visib"]
+        silhouette_target = prepared["silhouette"]
         key, sub = jax.random.split(key)
         pred, target, proxy, extra = eval_step(params, dev_batch, sub)
         if mesh is not None:
@@ -315,6 +349,8 @@ def evaluate_humaniflow(
                 sil_overflow = sil_overflow + ov_s
 
         tracker.update_per_batch(pred, target, b, model_input=proxy)
+        if batch_times is not None:
+            batch_times.append(_time.perf_counter() - _t0)
 
         if save_per_frame_metrics:
             fname_list.extend(fnames)
