@@ -83,6 +83,7 @@ def _compiled_flops(jitted, *args) -> float:
 
 def bench_inference(cfg, model, params, smpl):
     from humaniflow_tpu.models import smpl_forward
+    from humaniflow_tpu.models.smpl import smpl_vertex_moments
 
     @jax.jit
     def distribution_inference(params, proxy, key):
@@ -91,22 +92,22 @@ def bench_inference(cfg, model, params, smpl):
             use_shape_mode_for_samples=True,
         )
         b = proxy.shape[0]
-        flat = smpl_forward(
+        # per-image (Σx, Σx²) over the N samples, reduced IN the fused SMPL
+        # Pallas kernel — the (B·N, 3, V) sample-vertex tensor (265 MB)
+        # never reaches HBM.  One-pass E[x²]−E[x]² (uncertainty map: the
+        # ~1e-4 relative cancellation loss at f32 is far below colormap
+        # resolution).
+        mom = smpl_vertex_moments(
             smpl,
             out["shape_samples"].reshape(b * NUM_SAMPLES, -1),
             out["pose_rotmats_samples"].reshape(b * NUM_SAMPLES, 23, 3, 3),
             jnp.broadcast_to(
                 out["glob_rotmat"][:, None], (b, NUM_SAMPLES, 3, 3)
             ).reshape(b * NUM_SAMPLES, 3, 3),
+            num_groups=b,
         )
-        # channel-major verts skip the (B·N, 3, V)→(B·N, V, 3) relayout —
-        # the variance reduction is layout-agnostic.  One-pass E[x²]−E[x]²
-        # reads the 265 MB sample tensor once instead of twice (visual
-        # uncertainty map: the ~1e-4 relative cancellation loss at f32 is
-        # far below colormap resolution)
-        verts = flat["vertices_cm"].reshape(b, NUM_SAMPLES, 3, NUM_VERTS)
-        s1 = verts.mean(axis=1)
-        s2 = (verts * verts).mean(axis=1)
+        s1 = mom[:, 0] / NUM_SAMPLES
+        s2 = mom[:, 1] / NUM_SAMPLES
         vertex_var = jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)  # (B, V)
         point_est = smpl_forward(
             smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
@@ -142,22 +143,14 @@ def bench_inference(cfg, model, params, smpl):
     ).reshape(BATCH * NUM_SAMPLES, 3, 3)
 
     @jax.jit
-    def smpl_stage(shp, pose, glob):
-        return smpl_forward(smpl, shp, pose, glob)["vertices_cm"]
-
-    verts_cm = jax.block_until_ready(smpl_stage(shp, pose, glob))
-
-    @jax.jit
-    def variance_stage(verts_cm):
-        v = verts_cm.reshape(BATCH, NUM_SAMPLES, 3, NUM_VERTS)
-        s1 = v.mean(axis=1)
-        s2 = (v * v).mean(axis=1)
-        return jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)
+    def moments_stage(shp, pose, glob):
+        # SMPL vertices for all B·N samples + per-image (Σx, Σx²) reduced
+        # in-kernel (models/pallas_lbs.py smpl_verts_moments_fused)
+        return smpl_vertex_moments(smpl, shp, pose, glob, num_groups=BATCH)
 
     stage_ms = {
         "model_forward": _timed(lambda: model_forward(params, proxy, key)) * 1e3,
-        "smpl_x3200": _timed(lambda: smpl_stage(shp, pose, glob)) * 1e3,
-        "variance": _timed(lambda: variance_stage(verts_cm)) * 1e3,
+        "smpl_moments_x3200": _timed(lambda: moments_stage(shp, pose, glob)) * 1e3,
     }
     return {
         "images_per_sec": BATCH / dt,

@@ -249,6 +249,112 @@ def smpl_verts_fused(
     return out[:b, :3, :v]
 
 
+# ---------------------------------------------------------------------------
+# Per-group vertex-moment kernel: SMPL vertices for a GROUP of samples plus
+# their first two moments (Σx, Σx²) over the sample axis, reduced in-kernel.
+#
+# The distribution-inference hot path needs only per-vertex variance over the
+# N pose/shape samples of each image — materialising all B·N·3·V sample
+# vertices to HBM (265 MB at B=32, N=100) just to reduce them is pure wasted
+# traffic.  This kernel computes each (image, vertex-tile) block's samples in
+# VMEM and writes ONLY the 8-row moment planes [Σx Σy Σz pad Σx² Σy² Σz² pad]
+# — the padded sample rows carry a12 = 0, so their skinned vertices are
+# exactly 0 and drop out of both sums without any masking.
+
+MOM_VERT_TILE = 1024
+
+
+def _smpl_moments_kernel(beta_ref, pf_ref, a_ref, w_ref, vt_ref, sd_ref,
+                         pd_ref, out_ref):
+    """One (vertex-tile, group) instance.  Refs as in _smpl_verts_kernel
+    but with a leading singleton group-block dim; the sample dim is the
+    group's padded sample count SP.  out_ref is (1, 8, VT) moment rows."""
+    w = w_ref[:]
+    p = []
+    for c in range(3):
+        p.append(
+            vt_ref[c, :][None, :]
+            + _dot3(beta_ref[0], sd_ref[:, c, :])
+            + _dot3(pf_ref[0], pd_ref[:, c, :])
+        )
+    for c in range(3):
+        out_c = (
+            _dot3(a_ref[0, :, 3 * c + 0, :], w) * p[0]
+            + _dot3(a_ref[0, :, 3 * c + 1, :], w) * p[1]
+            + _dot3(a_ref[0, :, 3 * c + 2, :], w) * p[2]
+            + _dot3(a_ref[0, :, 9 + c, :], w)
+        )  # (SP, VT)
+        out_ref[0, c, :] = jnp.sum(out_c, axis=0)
+        out_ref[0, 4 + c, :] = jnp.sum(out_c * out_c, axis=0)
+    out_ref[0, 3, :] = jnp.zeros_like(w[0])
+    out_ref[0, 7, :] = jnp.zeros_like(w[0])
+
+
+def smpl_verts_moments_fused(
+    lbs_weights: jax.Array,   # (V, 24)
+    a12: jax.Array,           # (G, N, 24, 12)
+    betas: jax.Array,         # (G, N, NB)
+    pose_feature: jax.Array,  # (G, N, 207)
+    v_template_cm: jax.Array,  # (3, V)
+    shapedirs_cm: jax.Array,   # (3, V, NB)
+    posedirs: jax.Array,       # (207, V*3)
+):
+    """Fused per-group SMPL vertex moments: (Σ verts, Σ verts²) over the
+    sample axis, per group — (G, 2, 3, V), no (G·N, 3, V) HBM tensor."""
+    g, n, _, _ = a12.shape
+    v = v_template_cm.shape[1]
+    nb = betas.shape[-1]
+    sp = -(-n // 8) * 8  # sample rows padded to the sublane multiple
+    pad_n = sp - n
+    pad_v = (-v) % MOM_VERT_TILE
+    vp = v + pad_v
+
+    w_t = jnp.pad(lbs_weights, ((0, pad_v), (0, 0))).T              # (24, Vp)
+    # pad rows get a12 = 0 -> zero skinned verts -> no effect on the sums
+    a_t = jnp.pad(
+        jnp.swapaxes(a12, -1, -2), ((0, 0), (0, pad_n), (0, 0), (0, 0))
+    )  # (G, SP, 12, 24)
+    beta_p = jnp.pad(betas, ((0, 0), (0, pad_n), (0, 0)))
+    pf_p = jnp.pad(pose_feature, ((0, 0), (0, pad_n), (0, 0)))
+    vt4 = jnp.pad(v_template_cm, ((0, 1), (0, pad_v)))              # (4, Vp)
+    sd4 = jnp.pad(
+        jnp.transpose(shapedirs_cm, (2, 0, 1)), ((0, 0), (0, 1), (0, pad_v))
+    )  # (NB, 4, Vp)
+    pd4 = jnp.pad(
+        posedirs.reshape(-1, v, 3).transpose(0, 2, 1), ((0, 0), (0, 1), (0, pad_v))
+    )  # (207, 4, Vp)
+
+    grid = (vp // MOM_VERT_TILE, g)  # group innermost: weight tiles resident
+    out = pl.pallas_call(
+        _smpl_moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sp, nb), lambda vi, gi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, 207), lambda vi, gi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, 12, 24), lambda vi, gi: (gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, MOM_VERT_TILE), lambda vi, gi: (0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, MOM_VERT_TILE), lambda vi, gi: (0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 4, MOM_VERT_TILE), lambda vi, gi: (0, 0, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((207, 4, MOM_VERT_TILE), lambda vi, gi: (0, 0, vi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, MOM_VERT_TILE), lambda vi, gi: (gi, 0, vi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 8, vp), jnp.float32),
+    )(beta_p, pf_p, a_t, w_t, vt4, sd4, pd4)
+    s1 = out[:, 0:3, :v]
+    s2 = out[:, 4:7, :v]
+    return jnp.stack([s1, s2], axis=1)  # (G, 2, 3, V)
+
+
 def _fused_fwd(w, a12, betas, pf, vt, sd, pd):
     return smpl_verts_fused(w, a12, betas, pf, vt, sd, pd), (
         w, a12, betas, pf, vt, sd, pd,

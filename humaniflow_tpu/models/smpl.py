@@ -256,6 +256,62 @@ def _rigid_transform_chain(rot_mats: jax.Array, joints: jax.Array):
     return posed_joints, world_R, rel_t
 
 
+def smpl_vertex_moments(
+    model: SMPLModel,
+    betas: jax.Array,
+    body_pose: jax.Array,
+    global_orient: jax.Array,
+    num_groups: int,
+):
+    """Per-group first/second vertex moments over sample batches.
+
+    Inputs are flat (G·N, …) sample stacks (G = num_groups images, N
+    samples each, G·N = batch).  Returns (G, 2, 3, V): moments[:, 0] = Σ
+    vertices, moments[:, 1] = Σ vertices² over each group's N samples —
+    everything a per-vertex variance / directional-std needs.
+
+    On TPU this runs a dedicated Pallas kernel that reduces the sample
+    axis IN VMEM: the (G·N, 3, V) sample-vertex tensor (265 MB at
+    B·N=3200) never reaches HBM — the distribution-inference hot path's
+    variance stage collapses into the SMPL pass (reference equivalent:
+    predict/predict_humaniflow.py per-sample smpl() loop + numpy variance).
+    Elsewhere it reduces the XLA forward's vertices.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    gn = betas.shape[0]
+    assert gn % num_groups == 0
+    n = gn // num_groups
+    if jax.default_backend() != "cpu":
+        from .pallas_lbs import smpl_verts_moments_fused
+
+        b = betas.shape[0]
+        rot_mats = jnp.concatenate(
+            [global_orient[:, None], body_pose], axis=1
+        )
+        shapedirs_cm = jnp.transpose(model.shapedirs, (1, 0, 2))
+        v_template_cm = model.v_template.T
+        jt = jnp.einsum("jv,cv->jc", model.j_regressor, v_template_cm, precision=hi)
+        jsd = jnp.einsum("jv,cvl->jcl", model.j_regressor, shapedirs_cm, precision=hi)
+        joints_rest = jt[None] + jnp.einsum("bl,jcl->bjc", betas, jsd, precision=hi)
+        eye = jnp.eye(3, dtype=rot_mats.dtype)
+        pose_feature = (rot_mats[:, 1:] - eye).reshape(b, -1)
+        _, world_R, rel_t = _rigid_transform_chain(rot_mats, joints_rest)
+        a12 = jnp.concatenate(
+            [world_R.reshape(b, NUM_SMPL_JOINTS, 9), rel_t], axis=-1
+        )
+        return smpl_verts_moments_fused(
+            model.lbs_weights,
+            a12.reshape(num_groups, n, NUM_SMPL_JOINTS, 12),
+            betas.reshape(num_groups, n, -1),
+            pose_feature.reshape(num_groups, n, -1),
+            v_template_cm, shapedirs_cm, model.posedirs,
+        )
+    verts_cm = smpl_forward(model, betas, body_pose, global_orient)[
+        "vertices_cm"
+    ].reshape(num_groups, n, 3, -1)
+    return jnp.stack([verts_cm.sum(axis=1), (verts_cm * verts_cm).sum(axis=1)], axis=1)
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jax.Array,

@@ -82,3 +82,30 @@ def test_gradients_flow(model):
     g = jax.grad(loss)(jnp.ones((1, 10)) * 0.1)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_vertex_moments_match_naive_reduction(model):
+    """smpl_vertex_moments (CPU path: XLA forward + reduce) == per-group
+    Σx / Σx² of smpl_forward's vertices.  The TPU Pallas kernel variant is
+    pinned in tests/test_pallas_lbs.py."""
+    from scipy.spatial.transform import Rotation
+
+    from humaniflow_tpu.models.smpl import smpl_vertex_moments
+
+    g, n = 3, 5
+    rng = np.random.default_rng(7)
+    betas = jnp.asarray(rng.normal(scale=0.5, size=(g * n, 10)), jnp.float32)
+    rots = Rotation.random(g * n * 24, random_state=8).as_matrix()
+    rots = jnp.asarray(rots.reshape(g * n, 24, 3, 3), jnp.float32)
+    body, glob = rots[:, 1:], rots[:, 0]
+
+    mom = smpl_vertex_moments(model, betas, body, glob, num_groups=g)
+    assert mom.shape == (g, 2, 3, 64)
+
+    v = smpl_forward(model, betas, body, glob)["vertices_cm"].reshape(g, n, 3, 64)
+    np.testing.assert_allclose(
+        np.asarray(mom[:, 0]), np.asarray(v.sum(axis=1)), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mom[:, 1]), np.asarray((v * v).sum(axis=1)), rtol=1e-5, atol=1e-5
+    )
