@@ -340,9 +340,7 @@ def bench_optimise(cfg, model, params, smpl):
     iteration is a fwd+bwd through SMPL + the conditional-flow log-prob, so
     the loop is ~162 model+SMPL passes per batch."""
     from humaniflow_tpu.configs import get_optimise_cfg_defaults
-    from humaniflow_tpu.pipelines.optimise import (
-        optimise_batch_with_humaniflow_prior,
-    )
+    from humaniflow_tpu.pipelines.optimise import make_optimise_fn
 
     b = 32
     ocfg = get_optimise_cfg_defaults()
@@ -365,11 +363,12 @@ def bench_optimise(cfg, model, params, smpl):
         "joints2D_conf": jnp.ones((b, 17), jnp.float32),
     }
 
+    # build (and trace) the jitted 81-iteration program ONCE — per-batch
+    # calls then measure device time, not the multi-second re-trace
+    optimise_fn = make_optimise_fn(model, smpl, ocfg, img_wh=IMG)
+
     def run():
-        out = optimise_batch_with_humaniflow_prior(
-            model, params, smpl, ocfg, init, img_wh=IMG
-        )
-        return out["shape"]
+        return optimise_fn(params, init)["shape"]
 
     dt = _timed(run, n_iters=5)
     return {

@@ -1,5 +1,5 @@
 from .evaluate import evaluate_humaniflow, make_eval_step
-from .optimise import optimise_batch_with_humaniflow_prior
+from .optimise import make_optimise_fn, optimise_batch_with_humaniflow_prior
 from .predict_hrnet import (
     bbox_from_keypoints,
     detect_person_bbox_torchvision,
@@ -24,6 +24,7 @@ __all__ = [
     "predict_hrnet_batch",
     "make_synth_data_fn",
     "train_humaniflow",
+    "make_optimise_fn",
     "optimise_batch_with_humaniflow_prior",
     "build_proxy_representation",
     "make_predict_fn",

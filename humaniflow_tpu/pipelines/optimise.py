@@ -27,49 +27,30 @@ from ..ops.camera import orthographic_project
 from ..ops.so3 import so3_exp
 
 
-def optimise_batch_with_humaniflow_prior(
+def make_optimise_fn(
     model: HumaniflowModel,
-    params,
     smpl: SMPLModel,
     optimise_cfg: OptimiseConfig,
-    init: Dict,
     img_wh: int = 256,
-) -> Dict:
-    """Refine SMPL parameters against 2D joints with the flow prior.
+):
+    """Build the jitted refinement program ONCE; call it per batch.
 
-    :param init: dict with
-        shape (B, nb), pose_axisangle (B, 23, 3), glob_rotmat (B, 3, 3) or
-        glob_axisangle (B, 3), cam_wp (B, 3), input_feats (B, F),
-        joints2D (B, 17, 2) target pixels, joints2D_conf (B, 17).
-    :return: dict with optimised pose_axisangle/shape/cam_wp/glob_axisangle
-        plus final loss terms.
+    Returns `fn(params, init) -> dict` (same contract as
+    `optimise_batch_with_humaniflow_prior`).  Jitting happens at build time,
+    so a caller looping over batches (scripts/run_optimise.py, bench.py)
+    pays tracing once per process instead of once per batch — re-tracing
+    the 81-iteration fori_loop program costs multiple SECONDS per call and
+    was 30× the actual device time of the loop.
     """
-    from ..ops.so3 import so3_log
-
-    b = init["shape"].shape[0]
-    glob_aa = (
-        init["glob_axisangle"]
-        if "glob_axisangle" in init
-        else so3_log(init["glob_rotmat"])
-    )
-    state = {
-        "pose": init["pose_axisangle"].reshape(b, 23 * 3),
-        "glob": glob_aa,
-        "shape": init["shape"],
-        "cam": init["cam_wp"],
-    }
-
-    input_feats = init["input_feats"]
-    target_j2d = init["joints2D"]
-    vis = init["joints2D_conf"] > optimise_cfg.JOINTS2D_VISIB_THRESHOLD
-    # torso/head joints always kept (reference :59)
-    vis = vis.at[:, jnp.arange(7)].set(True).astype(jnp.float32)
-
     coco = jnp.asarray(ALL_JOINTS_TO_COCO_MAP)
     flip = so3_exp(jnp.asarray([[math.pi, 0.0, 0.0]], jnp.float32))[0]
     w = optimise_cfg.LOSS_WEIGHTS
+    lr = optimise_cfg.LR
+    thresh = optimise_cfg.JOINTS2D_VISIB_THRESHOLD
+    num_iters = optimise_cfg.NUM_ITERS
 
-    def loss_fn(state):
+    def loss_fn(state, params, input_feats, target_j2d, vis):
+        b = state["shape"].shape[0]
         pose_aa = state["pose"].reshape(b, 23, 3)
         pose_r = so3_exp(pose_aa)
         glob_r = so3_exp(state["glob"])
@@ -119,41 +100,94 @@ def optimise_batch_with_humaniflow_prior(
             "shape_logprob": shape_logprob,
         }
 
-    lr = optimise_cfg.LR
-
-    def body(_, carry):
-        state, halted, aux_prev = carry
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state)
-        new_state = jax.tree_util.tree_map(lambda p, g: p - lr * g, state, grads)
-        finite = jnp.all(
-            jnp.stack(
-                [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(new_state)]
-            )
-        ) & jnp.isfinite(loss)
-        use_new = finite & ~halted
-        state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(use_new, new, old), new_state, state
-        )
-        aux = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(use_new, new, old), aux, aux_prev
-        )
-        return state, halted | ~finite, aux
-
     @jax.jit
-    def run(state):
-        _, aux0 = loss_fn(state)  # pre-optimisation loss terms
+    def run(params, state, input_feats, target_j2d, vis):
+        def body(_, carry):
+            state, halted, aux_prev = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state, params, input_feats, target_j2d, vis
+            )
+            new_state = jax.tree_util.tree_map(
+                lambda p, g: p - lr * g, state, grads
+            )
+            finite = jnp.all(
+                jnp.stack(
+                    [
+                        jnp.all(jnp.isfinite(leaf))
+                        for leaf in jax.tree_util.tree_leaves(new_state)
+                    ]
+                )
+            ) & jnp.isfinite(loss)
+            use_new = finite & ~halted
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(use_new, new, old), new_state, state
+            )
+            aux = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(use_new, new, old), aux, aux_prev
+            )
+            return state, halted | ~finite, aux
+
+        # pre-optimisation loss terms
+        _, aux0 = loss_fn(state, params, input_feats, target_j2d, vis)
         out = jax.lax.fori_loop(
-            0, optimise_cfg.NUM_ITERS, body, (state, jnp.array(False), aux0)
+            0, num_iters, body, (state, jnp.array(False), aux0)
         )
         return out, aux0
 
-    (final_state, halted, aux), aux0 = run(state)
-    return {
-        "pose_axisangle": final_state["pose"].reshape(b, 23, 3),
-        "glob_axisangle": final_state["glob"],
-        "shape": final_state["shape"],
-        "cam_wp": final_state["cam"],
-        "halted_on_nan": halted,
-        "initial_losses": aux0,
-        "final_losses": aux,
-    }
+    def fn(params, init: Dict) -> Dict:
+        from ..ops.so3 import so3_log
+
+        b = init["shape"].shape[0]
+        glob_aa = (
+            init["glob_axisangle"]
+            if "glob_axisangle" in init
+            else so3_log(init["glob_rotmat"])
+        )
+        state = {
+            "pose": init["pose_axisangle"].reshape(b, 23 * 3),
+            "glob": glob_aa,
+            "shape": init["shape"],
+            "cam": init["cam_wp"],
+        }
+        vis = init["joints2D_conf"] > thresh
+        # torso/head joints always kept (reference :59)
+        vis = vis.at[:, jnp.arange(7)].set(True).astype(jnp.float32)
+
+        (final_state, halted, aux), aux0 = run(
+            params, state, init["input_feats"], init["joints2D"], vis
+        )
+        return {
+            "pose_axisangle": final_state["pose"].reshape(b, 23, 3),
+            "glob_axisangle": final_state["glob"],
+            "shape": final_state["shape"],
+            "cam_wp": final_state["cam"],
+            "halted_on_nan": halted,
+            "initial_losses": aux0,
+            "final_losses": aux,
+        }
+
+    return fn
+
+
+def optimise_batch_with_humaniflow_prior(
+    model: HumaniflowModel,
+    params,
+    smpl: SMPLModel,
+    optimise_cfg: OptimiseConfig,
+    init: Dict,
+    img_wh: int = 256,
+) -> Dict:
+    """Refine SMPL parameters against 2D joints with the flow prior.
+
+    One-shot convenience wrapper over `make_optimise_fn` — builds (and
+    traces) the program per call.  Callers looping over batches should
+    build the fn once with `make_optimise_fn` instead.
+
+    :param init: dict with
+        shape (B, nb), pose_axisangle (B, 23, 3), glob_rotmat (B, 3, 3) or
+        glob_axisangle (B, 3), cam_wp (B, 3), input_feats (B, F),
+        joints2D (B, 17, 2) target pixels, joints2D_conf (B, 17).
+    :return: dict with optimised pose_axisangle/shape/cam_wp/glob_axisangle
+        plus final loss terms.
+    """
+    return make_optimise_fn(model, smpl, optimise_cfg, img_wh)(params, init)
