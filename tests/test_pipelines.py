@@ -271,6 +271,51 @@ class TestOptimise:
         assert final_j2d < init_j2d, (init_j2d, final_j2d)
         assert np.isfinite(float(out["final_losses"]["pose_logprob"]))
 
+    def test_make_optimise_fn_reused_across_batches(self, setup):
+        """The jit-once factory (pipelines/optimise.py make_optimise_fn):
+        one built fn serves different batches and agrees with the one-shot
+        wrapper on the same inputs (which routes through it)."""
+        from humaniflow_tpu.pipelines import make_optimise_fn
+
+        cfg, model, params, smpl = setup
+        ocfg = get_optimise_cfg_defaults()
+        ocfg.NUM_ITERS = 3
+        b = 2
+        fn = make_optimise_fn(model, smpl, ocfg, img_wh=IMG)
+        outs = []
+        for seed in (11, 12):
+            rng = np.random.default_rng(seed)
+            init = {
+                "shape": jnp.zeros((b, 10)),
+                "pose_axisangle": jnp.asarray(
+                    rng.normal(scale=0.2, size=(b, 23, 3)), jnp.float32
+                ),
+                "glob_axisangle": jnp.asarray(
+                    rng.normal(scale=0.2, size=(b, 3)), jnp.float32
+                ),
+                "cam_wp": jnp.asarray(np.tile([0.9, 0, 0], (b, 1)), jnp.float32),
+                "input_feats": jnp.asarray(
+                    rng.normal(size=(b, model.feat_dim)), jnp.float32
+                ),
+                "joints2D": jnp.asarray(
+                    rng.uniform(0, IMG, size=(b, 17, 2)), jnp.float32
+                ),
+                "joints2D_conf": jnp.ones((b, 17)),
+            }
+            out = fn(params, init)
+            assert not bool(out["halted_on_nan"])
+            assert np.isfinite(np.asarray(out["pose_axisangle"])).all()
+            outs.append((init, out))
+        # wrapper parity on the second batch
+        init, out = outs[1]
+        out_w = optimise_batch_with_humaniflow_prior(
+            model, params, smpl, ocfg, init, img_wh=IMG
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pose_axisangle"]),
+            np.asarray(out_w["pose_axisangle"]), atol=1e-6,
+        )
+
 
 class TestEvalMetrics:
     def test_point_and_sample_metrics(self):
