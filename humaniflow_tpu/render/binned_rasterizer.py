@@ -231,7 +231,7 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
 
 def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
                n_coef=_NCOEF, cull_sign=0, tall_cap=None, z_order=True,
-               live_cap=None):
+               live_cap=None, strip_rows=STRIP_ROWS):
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
@@ -260,7 +260,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
         beyond M lose their upper rows (counted in overflow).  None = flat
         single-level binning (row_cand rows for every face).
     """
-    n_row = h // STRIP_ROWS
+    n_row = h // strip_rows
     n_col = w // STRIP_COLS
     s = n_row * n_col
 
@@ -268,8 +268,8 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     ys = tri[:, 1::3]
     xmin, xmax = xs.min(1), xs.max(1)
     ymin, ymax = ys.min(1), ys.max(1)
-    r0 = jnp.floor(ymin / STRIP_ROWS).astype(jnp.int32)
-    r1 = jnp.floor(ymax / STRIP_ROWS).astype(jnp.int32)
+    r0 = jnp.floor(ymin / strip_rows).astype(jnp.int32)
+    r1 = jnp.floor(ymax / strip_rows).astype(jnp.int32)
     c0 = jnp.floor(xmin / STRIP_COLS).astype(jnp.int32)
     c1 = jnp.floor(xmax / STRIP_COLS).astype(jnp.int32)
 
@@ -504,7 +504,7 @@ def _rasterize_binned_impl(
     return frags, planes, overflow
 
 
-def _make_coverage_kernel(n_col_strips):
+def _make_coverage_kernel(n_col_strips, strip_rows=STRIP_ROWS):
     """Coverage-only kernel: no z-test, no attributes — per-candidate work
     is two edge-plane FMAs + an inside test + one select (~half the full
     kernel), and the binning gathers only the 6 edge-coefficient rows.
@@ -515,14 +515,14 @@ def _make_coverage_kernel(n_col_strips):
 
     def kernel(bounds_ref, coef_ref, cover_ref):
         si = pl.program_id(1)
-        row0 = ((si // n_col_strips) * STRIP_ROWS).astype(jnp.float32)
+        row0 = ((si // n_col_strips) * strip_rows).astype(jnp.float32)
         col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
         gy = (
-            jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 0)
+            jax.lax.broadcasted_iota(jnp.int32, (strip_rows, STRIP_COLS), 0)
             .astype(jnp.float32) + row0 + 0.5
         )
         gx = (
-            jax.lax.broadcasted_iota(jnp.int32, (STRIP_ROWS, STRIP_COLS), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (strip_rows, STRIP_COLS), 1)
             .astype(jnp.float32) + col0 + 0.5
         )
 
@@ -549,7 +549,7 @@ def _make_coverage_kernel(n_col_strips):
 
         lo = bounds_ref[0, 0, 0, 0]
         hi = bounds_ref[0, 0, 0, 1]
-        init = jnp.zeros((STRIP_ROWS, STRIP_COLS), jnp.float32)
+        init = jnp.zeros((strip_rows, STRIP_COLS), jnp.float32)
         cover_ref[0] = jax.lax.fori_loop(
             lo, hi, lambda k, c: candidate(k, c), init
         )
@@ -561,6 +561,7 @@ def _make_coverage_kernel(n_col_strips):
     jax.jit,
     static_argnames=(
         "image_size", "k_max", "row_cand", "cull_sign", "tall_cap", "live_cap",
+        "strip_rows",
     ),
 )
 def rasterize_binned_coverage(
@@ -572,6 +573,7 @@ def rasterize_binned_coverage(
     cull_sign: int = 0,
     tall_cap: int = 4096,
     live_cap: int = 32768,
+    strip_rows: int = STRIP_ROWS,
 ):
     """Coverage-only binned rasterization — the silhouette hot path.
 
@@ -589,16 +591,17 @@ def rasterize_binned_coverage(
     b = verts_screen.shape[0]
     f = faces.shape[0]
     h = w = image_size
-    assert h % STRIP_ROWS == 0 and w % STRIP_COLS == 0
+    assert h % strip_rows == 0 and w % STRIP_COLS == 0
     assert k_max % FACE_CHUNK == 0
     n_col_strips = w // STRIP_COLS
-    s = (h // STRIP_ROWS) * n_col_strips
+    s = (h // strip_rows) * n_col_strips
 
     tri = verts_screen[:, faces].reshape(b, f, 9)
     bounds, fids, coefs, overflow = jax.vmap(
         lambda t: _bin_faces(
             t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign,
             tall_cap=tall_cap, z_order=False, live_cap=live_cap,
+            strip_rows=strip_rows,
         )
     )(tri)
 
@@ -607,7 +610,7 @@ def rasterize_binned_coverage(
     bounds_in = bounds.reshape(b, s, 1, 2)
     coefs_in = coefs.swapaxes(-1, -2)  # (b, s, 6, k_slots)
     cover = pl.pallas_call(
-        _make_coverage_kernel(n_col_strips),
+        _make_coverage_kernel(n_col_strips, strip_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -622,7 +625,7 @@ def rasterize_binned_coverage(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, STRIP_ROWS, STRIP_COLS),
+                (1, strip_rows, STRIP_COLS),
                 lambda bi, si: (bi, si // n_col_strips, si % n_col_strips),
                 memory_space=pltpu.VMEM,
             )

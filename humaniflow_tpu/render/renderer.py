@@ -121,13 +121,8 @@ class TexturedIUVRenderer:
     # row_cand·8 px are dropped; 6 covers real SMPL meshes — raise for
     # meshes with heavily stretched faces, see binned_rasterizer.py)
     binned_row_cand: int = 6
-    # silhouette path: tall-face side-table capacity for the coverage
-    # kernel's two-level binning (binned_rasterizer._bin_faces) — faces
-    # spanning ≥ 3 row-strips beyond this many lose their upper rows
-    # (counted in overflow); real SMPL meshes have essentially none.  The
-    # fused TRAIN render keeps flat row_cand=6 binning (two-level measured
-    # neutral there; the win is coverage's 16-row span at rc≈4 sort cost)
-    binned_tall_cap: int = 4096
+    # (the silhouette path's binning capacities are fixed inside
+    # _render_silhouette_binned_impl — 32-row strips, see there)
     # fused train render: live-prefix coefficient gather cap (see
     # binned_rasterizer._bin_faces live_cap) — 118.6 -> 110.9 ms/batch at
     # training scale with identical output; worst measured live-candidate
@@ -605,14 +600,25 @@ class TexturedIUVRenderer:
         from .binned_rasterizer import rasterize_binned_coverage
 
         screen = self._sil_screen(vertices, cam_wp)
-        # coverage defaults (k_max=1280, row_cand=16, tall_cap=2048) plus
-        # back-face culling: the SMPL body mesh is CLOSED and consistently
-        # wound, so the silhouette is exactly the one-sided face union —
-        # culling halves per-strip occupancy (overflow 0 at body scale;
-        # any residual drop is counted in `overflow` for the caller)
+        # TALL (32-row) strips + back-face culling.  Coverage has no
+        # z-buffer, so unlike the train render the kernel cost is instance
+        # -issue-bound, not edge-test-bound — and a body face (~2-6 px
+        # tall) almost never crosses a 32 px strip.  vs the 8-row config:
+        # sort keys 170k -> 67k/mesh, live candidates 21k -> 11k, kernel
+        # instances 64 -> 16, and per-strip occupancy fits a far larger
+        # k_max in SMEM (6 coef rows only): measured 1.23 -> 0.64 ms/mesh
+        # with overflow 0 (vs 249) on protocol-scale draws and 4x lower
+        # overflow on hard draws (docs/DESIGN.md "Evaluation-protocol
+        # performance").  Culling is near-exact for the consistently-wound
+        # SMPL body: the DensePose face table is 13,774 faces (2 short of
+        # the closed 13,776), so a pixel seen through the seam hole keeps
+        # only its back face — measured 1 px per ~64 renders vs the
+        # all-faces union (tests/test_binned_rasterizer.py).  Binning
+        # drops land in `overflow` for the caller's batched host sync.
         mask, overflow = rasterize_binned_coverage(
             screen, self.dp["faces"], self.img_wh,
-            k_max=1664, tall_cap=self.binned_tall_cap, cull_sign=1,
+            strip_rows=32, k_max=4352, row_cand=8, tall_cap=1024,
+            live_cap=16384, cull_sign=1,
         )
         return mask.astype(jnp.float32), overflow
 

@@ -143,21 +143,41 @@ def test_binned_coverage_matches_exact_scan():
     cam_wp = jnp.tile(jnp.asarray([[0.9, 0.0, 0.2]], jnp.float32), (b, 1))
     sv = project_orthographic_screen(verts[:, dp["vertex_map"]], cam_wp, 256)
 
-    # the eval-silhouette configuration: back-face culling (closed mesh) +
-    # two-level binning at full 16-row coverage
-    mask_b, overflow = rasterize_binned_coverage(
-        sv, dp["faces"], 256, cull_sign=1
-    )
     mask_x = rasterize_coverage(sv, dp["faces"], 256, chunk=2048)
+
+    # (a) kernel exactness: same face set (no cull), generous caps — the
+    # binned kernel is bit-exact vs the XLA per-pixel scan at overflow 0
+    mask_b, overflow = rasterize_binned_coverage(
+        sv, dp["faces"], 256, cull_sign=0, strip_rows=32,
+        k_max=8576, row_cand=8, tall_cap=2048, live_cap=32768,
+    )
     ov = int(np.asarray(overflow).sum())
     agree = (np.asarray(mask_b) == np.asarray(mask_x)).mean()
-    print(f"\n[binned-coverage] overflow={ov} agreement={agree:.7f}")
+    print(f"\n[binned-coverage nocull] overflow={ov} agreement={agree:.7f}")
     if ov == 0:
         assert agree == 1.0
     else:  # stretched synthetic worst case may overflow; bound the damage
         assert agree > 0.99995
 
-    # renderer-level routing: with-overflow path equals the exact method
+    # (b) the shipped eval-silhouette config (back-face culling, tall
+    # strips).  Culling is NOT bit-identical to the all-faces union: the
+    # DensePose face table is 13,774 faces (2 short of SMPL's closed
+    # 13,776), so a pixel seen through the seam hole is covered only by a
+    # back face — measured exactly 1 px over 64 meshes here.  Bound it
+    # per-mesh instead of asserting equality.
+    mask_c, ov_c = rasterize_binned_coverage(
+        sv, dp["faces"], 256, cull_sign=1, strip_rows=32,
+        k_max=4352, row_cand=8, tall_cap=1024, live_cap=16384,
+    )
+    diff = np.asarray(mask_c) != np.asarray(mask_x)
+    per_mesh = diff.reshape(b, -1).sum(1)
+    print(f"[binned-coverage cull] overflow={int(np.asarray(ov_c).sum())} "
+          f"diff_px={int(diff.sum())} per_mesh_max={int(per_mesh.max())}")
+    assert per_mesh.max() <= 8, per_mesh.max()
+
+    # renderer-level routing: the binned silhouette path tracks the exact
+    # method within the same seam-hole bound (the exact path keeps back
+    # faces, the binned path culls them — see (b) above)
     from humaniflow_tpu.render import TexturedIUVRenderer
 
     r = TexturedIUVRenderer(
@@ -166,7 +186,8 @@ def test_binned_coverage_matches_exact_scan():
     m1, ov1 = r.render_silhouette_with_overflow(verts, cam_wp)
     m0 = r.render_silhouette(verts, cam_wp)
     if int(np.asarray(ov1).sum()) == 0:
-        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+        d = np.asarray(m1) != np.asarray(m0)
+        assert d.reshape(b, -1).sum(1).max() <= 8, d.sum()
 
 
 @requires_tpu
