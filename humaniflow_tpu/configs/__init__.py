@@ -5,6 +5,7 @@ from .defaults import (
     apply_overrides,
     get_humaniflow_cfg_defaults,
     get_optimise_cfg_defaults,
+    load_optimise_config,
     load_config,
     save_config,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "apply_overrides",
     "get_humaniflow_cfg_defaults",
     "get_optimise_cfg_defaults",
+    "load_optimise_config",
     "load_config",
     "save_config",
 ]

@@ -228,6 +228,18 @@ def load_config(yaml_path: Optional[str] = None, overrides: Optional[List] = Non
     return cfg
 
 
+def load_optimise_config(yaml_path: Optional[str] = None) -> OptimiseConfig:
+    """Optimise defaults → yaml merge (reference scripts/run_optimise.py
+    --optimise_cfg / configs/optimise_config.py)."""
+    cfg = get_optimise_cfg_defaults()
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            _merge_dict(cfg, yaml.safe_load(f) or {})
+    return cfg
+
+
 def save_config(cfg, yaml_path: str):
     """Freeze the config to the experiment dir for reproducible resume
     (reference: scripts/run_train.py:45-46)."""

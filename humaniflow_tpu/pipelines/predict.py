@@ -153,6 +153,7 @@ def predict_humaniflow(
     fnames=None,
     extras: Optional[Dict] = None,
     mesh=None,
+    joints2d_visib_threshold: float = 0.75,
 ) -> Dict:
     """Batched prediction over pre-cropped images.
 
@@ -170,6 +171,7 @@ def predict_humaniflow(
     proxy = build_proxy_representation(
         jnp.asarray(images), jnp.asarray(joints2d),
         None if joints2d_conf is None else jnp.asarray(joints2d_conf), cfg,
+        joints2d_visib_threshold=joints2d_visib_threshold,
     )
     predict = make_predict_fn(model, smpl, cfg, num_samples=num_samples)
     if mesh is not None:

@@ -15,6 +15,10 @@ def main():
     parser.add_argument("--opt_output_dir", "-S", type=str, required=True)
     parser.add_argument("--checkpoint", "-C", type=str, required=True)
     parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--optimise_cfg", type=str, default=None,
+                        help="yaml overriding the optimisation config "
+                             "(LR / NUM_ITERS / LOSS_WEIGHTS / "
+                             "JOINTS2D_VISIB_THRESHOLD)")
     parser.add_argument("--no_visualise", action="store_true",
                         help="skip the post-optimisation comparison renders")
     args = parser.parse_args()
@@ -26,8 +30,8 @@ def main():
 
     enable_persistent_compile_cache()
     from humaniflow_tpu.configs import (
-        get_optimise_cfg_defaults,
         load_config,
+        load_optimise_config,
         paths,
     )
     from humaniflow_tpu.data.datasets import load_opt_initialise_data_from_pred_output
@@ -36,7 +40,7 @@ def main():
     from humaniflow_tpu.utils.checkpoints import load_checkpoint
 
     cfg = load_config(args.cfg)
-    opt_cfg = get_optimise_cfg_defaults()
+    opt_cfg = load_optimise_config(args.optimise_cfg)
     model = HumaniflowModel(cfg.MODEL)
     if args.checkpoint.endswith(".tar"):
         from humaniflow_tpu.utils.convert_torch import convert_humaniflow_file

@@ -24,11 +24,33 @@ def main():
     parser.add_argument("--hrnet_dtype", choices=["bf16", "f32"], default="bf16",
                         help="HRNet conv compute dtype: bf16 (default; ~same "
                              "keypoints, ~1.5x throughput on TPU) or f32")
-    parser.add_argument("--num_samples", "-N", type=int, default=50)
+    parser.add_argument("--num_samples", "-N", "--num_pred_samples", "-NP",
+                        dest="num_samples", type=int, default=50)
     parser.add_argument("--use_detector", action="store_true",
                         help="use torchvision Mask-RCNN (CPU) for person bboxes")
+    parser.add_argument("--cropped_images", action="store_true",
+                        help="images are already cropped + centred on the "
+                             "person: skip bbox detection/refinement and use "
+                             "the whole image as the crop (reference -C)")
+    parser.add_argument("--gender", "-G", type=str, default="neutral",
+                        choices=["neutral", "male", "female"],
+                        help="SMPL body model variant (converted npz paths "
+                             "in configs/paths.py)")
+    parser.add_argument("--joints2Dvisib_threshold", "-T", type=float,
+                        default=0.75,
+                        help="confidence below which appendage-joint "
+                             "heatmaps are zeroed in the proxy")
+    parser.add_argument("--num_vis_samples", "-NV", type=int, default=8,
+                        help="number of J2D-error-sorted samples in the "
+                             "sample-grid visualisation")
     parser.add_argument("--cfg", type=str, default=None)
-    parser.add_argument("--visualise", "-V", action="store_true")
+    parser.add_argument("--visualise", "-V", action="store_true",
+                        help="write ALL visualisations (point-est + samples "
+                             "+ xyz variance + uncrop)")
+    parser.add_argument("--visualise_samples", "-VS", action="store_true")
+    parser.add_argument("--visualise_uncropped", "-VU", action="store_true")
+    parser.add_argument("--visualise_xyz_variance", "-VXYZ",
+                        action="store_true")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel inference over the first N "
                              "devices (jax.sharding 1-D data mesh); "
@@ -81,8 +103,13 @@ def main():
         in_w, in_h = _ph_mod.HRNET_INPUT_WH
         hrnet_params = hrnet.init(jax.random.PRNGKey(1), jnp.zeros((1, in_h, in_w, 3)))
 
+    smpl_path = {
+        "neutral": paths.SMPL_NEUTRAL,
+        "male": paths.SMPL_MALE,
+        "female": paths.SMPL_FEMALE,
+    }[args.gender]
     smpl = load_smpl_npz(
-        paths.SMPL_NEUTRAL,
+        smpl_path,
         regressor_paths={
             "extra": paths.J_REGRESSOR_EXTRA,
             "cocoplus": paths.COCOPLUS_REGRESSOR,
@@ -106,7 +133,10 @@ def main():
     # ONE jitted HRNet forward over all images (the reference loops per image
     # at batch 1, predict/predict_hrnet.py:33)
     hr = predict_hrnet_batch(
-        hrnet, hrnet_params, raw_images, use_torchvision_detector=args.use_detector
+        hrnet, hrnet_params, raw_images,
+        use_torchvision_detector=args.use_detector and not args.cropped_images,
+        # pre-cropped images ARE the person box — no keypoint-bbox re-crop
+        keypoint_bbox_fallback=not args.cropped_images,
     )
 
     # re-crop the HRNet crops to the proxy size, batched (square centre crop
@@ -142,7 +172,7 @@ def main():
         model, params, smpl, cfg,
         images, joints2d, hr["joints2Dconfs"],
         num_samples=args.num_samples, save_dir=args.save_dir, fnames=fnames,
-        mesh=mesh,
+        mesh=mesh, joints2d_visib_threshold=args.joints2Dvisib_threshold,
         extras={
             "bbox_centre": bbox_centres,
             "bbox_height": bbox_heights,
@@ -152,7 +182,10 @@ def main():
     )
     print(f"Saved predictions for {len(fnames)} images to {args.save_dir}")
 
-    if args.visualise:
+    vis_samples = args.visualise or args.visualise_samples
+    vis_uncrop = args.visualise or args.visualise_uncropped
+    vis_xyz = args.visualise or args.visualise_xyz_variance
+    if args.visualise or vis_samples or vis_uncrop or vis_xyz:
         import math
 
         import jax.numpy as jnp
@@ -191,49 +224,65 @@ def main():
             cv2.imwrite(os.path.join(args.save_dir, stem + "_vis.png"), out)
 
             # J2D-error-sorted sample grid (reference -VS flag)
-            heatmaps = np.moveaxis(proxy[i, :, :, 1:], -1, 0)[None]  # (1,17,wh,wh)
-            sorted_verts = joints2d_error_sorted_verts_sampling(
-                jnp.asarray(pred["verts_samples"][i]),
-                jnp.asarray(pred["joints_samples"][i]),
-                jnp.asarray(heatmaps),
-                jnp.asarray(pred["cam_wp"][i : i + 1]),
-            )
-            sorted_flipped = aa_rotate_translate_points(
-                sorted_verts, x_axis, math.pi, jnp.zeros(3)
-            )
-            grid = render_samples_visualisation(
-                renderer, sorted_flipped, np.asarray(pred["cam_wp"][i : i + 1])
-            )
-            cv2.imwrite(
-                os.path.join(args.save_dir, stem + "_samples.png"),
-                (grid[:, :, ::-1] * 255).astype(np.uint8),
-            )
+            if vis_samples:
+                heatmaps = np.moveaxis(proxy[i, :, :, 1:], -1, 0)[None]
+                sorted_verts = joints2d_error_sorted_verts_sampling(
+                    jnp.asarray(pred["verts_samples"][i]),
+                    jnp.asarray(pred["joints_samples"][i]),
+                    jnp.asarray(heatmaps),
+                    jnp.asarray(pred["cam_wp"][i : i + 1]),
+                )[: args.num_vis_samples]
+                sorted_flipped = aa_rotate_translate_points(
+                    sorted_verts, x_axis, math.pi, jnp.zeros(3)
+                )
+                nv = sorted_flipped.shape[0]
+                cols = min(nv, 6)
+                grid = render_samples_visualisation(
+                    renderer, sorted_flipped,
+                    np.asarray(pred["cam_wp"][i : i + 1]),
+                    num_rows=math.ceil(nv / cols), num_cols=cols,
+                )
+                cv2.imwrite(
+                    os.path.join(args.save_dir, stem + "_samples.png"),
+                    (grid[:, :, ::-1] * 255).astype(np.uint8),
+                )
             # per-vertex directional-variance scatter (reference -VXYZ flag)
-            plot_xyz_vertex_variance(
-                np.asarray(verts_flipped[i]),
-                np.asarray(pred["vertex_uncertainty_directional"][i]),
-                save_path=os.path.join(args.save_dir, stem + "_xyz_variance.png"),
-            )
+            if vis_xyz:
+                plot_xyz_vertex_variance(
+                    np.asarray(verts_flipped[i]),
+                    np.asarray(pred["vertex_uncertainty_directional"][i]),
+                    save_path=os.path.join(
+                        args.save_dir, stem + "_xyz_variance.png"
+                    ),
+                )
 
             # composite the mesh render back onto the original image
-            # (reference: uncrop_point_est_visualisation)
-            from humaniflow_tpu.utils.visualise import uncrop_point_est_visualisation
+            # (reference -VU flag: uncrop_point_est_visualisation)
+            if vis_uncrop:
+                from humaniflow_tpu.utils.visualise import (
+                    uncrop_point_est_visualisation,
+                )
 
-            orig = cv2.cvtColor(
-                cv2.imread(os.path.join(args.image_dir, fname)), cv2.COLOR_BGR2RGB
-            ).astype(np.float32) / 255.0
-            render0 = figs["renders"]["0"][i : i + 1]
-            sil0 = (render0.sum(-1) > 0).astype(np.float32)
-            wh_box = max(bbox_heights[i], bbox_widths[i])
-            uncropped = uncrop_point_est_visualisation(
-                render0, sil0, bbox_centres[i][None], np.asarray([wh_box]),
-                orig[None], bbox_scale_factor=cfg.DATA.BBOX_SCALE_FACTOR,
-            )
-            cv2.imwrite(
-                os.path.join(args.save_dir, stem + "_uncrop.png"),
-                (uncropped[0][:, :, ::-1] * 255).astype(np.uint8),
-            )
-        print("Saved visualisations (point-est, samples, xyz variance, uncrop).")
+                orig = cv2.cvtColor(
+                    cv2.imread(os.path.join(args.image_dir, fname)),
+                    cv2.COLOR_BGR2RGB,
+                ).astype(np.float32) / 255.0
+                render0 = figs["renders"]["0"][i : i + 1]
+                sil0 = (render0.sum(-1) > 0).astype(np.float32)
+                wh_box = max(bbox_heights[i], bbox_widths[i])
+                uncropped = uncrop_point_est_visualisation(
+                    render0, sil0, bbox_centres[i][None], np.asarray([wh_box]),
+                    orig[None], bbox_scale_factor=cfg.DATA.BBOX_SCALE_FACTOR,
+                )
+                cv2.imwrite(
+                    os.path.join(args.save_dir, stem + "_uncrop.png"),
+                    (uncropped[0][:, :, ::-1] * 255).astype(np.uint8),
+                )
+        done = ["point-est"] + [
+            n for n, f in [("samples", vis_samples), ("xyz variance", vis_xyz),
+                           ("uncrop", vis_uncrop)] if f
+        ]
+        print(f"Saved visualisations ({', '.join(done)}).")
 
 
 if __name__ == "__main__":

@@ -93,6 +93,59 @@ def test_demo_predict_pipeline_cpu_small(tmp_path, monkeypatch):
     assert d["cropped_image"].shape == (32, 32, 3)
 
 
+def test_demo_predict_cli_reference_flags(tmp_path, monkeypatch):
+    """Reference CLI flag parity (run_predict.py): --cropped_images skips
+    bbox refinement, -G selects the gendered SMPL npz, -T sets the joint
+    -visibility threshold, -NP aliases -N (reference scripts/run_predict.py
+    flags -C/-G/-T/-NP)."""
+    import importlib
+
+    import humaniflow_tpu.models as M
+
+    ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+    monkeypatch.setattr(ph, "HRNET_INPUT_WH", (64, 96))
+    monkeypatch.setattr(ph, "HRNET_HEATMAP_WH", (16, 24))
+    requested_paths = []
+
+    def fake_load(path, *a, **k):
+        requested_paths.append(path)
+        return M.synthetic_smpl(num_verts=6890)
+
+    monkeypatch.setattr(M, "load_smpl_npz", fake_load)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    import shutil
+
+    for f in sorted(os.listdir(DEMO))[:2]:
+        shutil.copy(os.path.join(DEMO, f), img_dir / f)
+    cfg_path = tmp_path / "small.yaml"
+    cfg_path.write_text("DATA:\n  PROXY_REP_SIZE: 32\n")
+
+    save_dir = tmp_path / "out"
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import run_predict
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_predict.py", "-I", str(img_dir), "-S", str(save_dir),
+        "-NP", "2", "--cfg", str(cfg_path),
+        "--cropped_images", "-G", "female", "-T", "0.6",
+    ])
+    run_predict.main()
+
+    from humaniflow_tpu.configs import paths
+
+    assert requested_paths == [paths.SMPL_FEMALE]
+    dumps = [f for f in os.listdir(save_dir) if f.endswith("_pred.npz")]
+    assert len(dumps) == 2
+    d = np.load(os.path.join(save_dir, dumps[0]))
+    # --cropped_images: whole image is the bbox — no keypoint-derived
+    # refinement, so the stored bbox centre is the image centre
+    h, w = d["bbox_height"], d["bbox_width"]
+    assert np.isfinite(d["cam_wp"]).all()
+    assert h > 0 and w > 0
+
+
 def test_demo_predict_cli_data_parallel(tmp_path, monkeypatch):
     """run_predict.main() with --num_devices 8 on the virtual CPU mesh
     (VERDICT r2 item 5: data parallelism reachable from the CLIs, not just
