@@ -292,17 +292,28 @@ class _SynthEvalDataset:
         }
 
 
-def bench_eval_protocol(cfg, model, params):
-    """The shipped SSP-3D distribution-eval protocol (reference
-    evaluate/evaluate_humaniflow.py:18-286 with the `-D ssp3d` metric list,
-    incl. silhouette-IOU + per-sample silhouettesamples-IOU at N=100):
-    images/sec end-to-end through the tunneled TPU, on synthetic
-    SSP-3D-shaped data."""
+def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
+    """The shipped distribution-eval protocols (reference
+    evaluate/evaluate_humaniflow.py:18-286): images/sec end-to-end through
+    the tunneled TPU, on synthetic dataset-shaped data.
+
+    - "ssp3d": full metric list incl. silhouette-IOU + per-sample
+      silhouettesamples-IOU at N=100 (the silhouette-render-heavy one).
+    - "3dpw": PVE/MPJPE point + samples_min + J2D + diversity metrics at
+      N=10 — no silhouettes (reference `-D 3dpw -N 10`)."""
     from humaniflow_tpu.models import synthetic_smpl
     from humaniflow_tpu.pipelines.evaluate import evaluate_humaniflow
-    from humaniflow_tpu.pipelines.protocols import EVAL_METRICS_SSP3D
+    from humaniflow_tpu.pipelines.protocols import (
+        EVAL_METRICS_3DPW,
+        EVAL_METRICS_SSP3D,
+    )
     from humaniflow_tpu.render import TexturedIUVRenderer
 
+    metrics, n_samples = (
+        (EVAL_METRICS_SSP3D, NUM_SAMPLES)
+        if protocol == "ssp3d"
+        else (EVAL_METRICS_3DPW, 10)
+    )
     smpl_n = synthetic_smpl(num_verts=NUM_VERTS, seed=0)
     smpl_m = synthetic_smpl(num_verts=NUM_VERTS, seed=1)
     smpl_f = synthetic_smpl(num_verts=NUM_VERTS, seed=2)
@@ -319,8 +330,8 @@ def bench_eval_protocol(cfg, model, params):
     times = []
     evaluate_humaniflow(
         model, params, smpl_n, smpl_m, smpl_f, cfg,
-        _SynthEvalDataset(5 * BATCH), list(EVAL_METRICS_SSP3D),
-        batch_size=BATCH, num_pred_samples=NUM_SAMPLES, renderer=renderer,
+        _SynthEvalDataset(5 * BATCH), list(metrics),
+        batch_size=BATCH, num_pred_samples=n_samples, renderer=renderer,
         batch_times=times,
     )
     per_batch = float(np.median(times[1:]))
@@ -328,8 +339,8 @@ def bench_eval_protocol(cfg, model, params):
         "images_per_sec": BATCH / per_batch,
         "sec_per_batch": per_batch,
         "first_batch_sec": round(times[0], 2),
-        "num_pred_samples": NUM_SAMPLES,
-        "metrics": "ssp3d protocol (pipelines/protocols.py)",
+        "num_pred_samples": n_samples,
+        "metrics": f"{protocol} protocol (pipelines/protocols.py)",
     }
 
 
@@ -406,6 +417,10 @@ def main():
         eval_protocol = bench_eval_protocol(cfg, model, params)
     except Exception as e:
         eval_protocol = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        eval_3dpw = bench_eval_protocol(cfg, model, params, protocol="3dpw")
+    except Exception as e:
+        eval_3dpw = {"error": f"{type(e).__name__}: {e}"}
 
     detail = {
         "batch": BATCH,
@@ -431,6 +446,10 @@ def main():
         "eval_ssp3d_protocol": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in eval_protocol.items()
+        },
+        "eval_3dpw_protocol": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in eval_3dpw.items()
         },
         "device": str(jax.devices()[0]),
     }
