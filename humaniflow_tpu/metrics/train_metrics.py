@@ -16,7 +16,7 @@ import pickle
 from typing import Dict, List, Optional, Sequence
 
 import jax
-import numpy as np
+import jax.numpy as jnp
 
 from .eval_metrics import compute_batch_metrics
 
@@ -83,16 +83,19 @@ class TrainingLossesAndMetricsTracker:
         for split in ("train", "val"):
             self.loss_metric_sums[f"{split}_num_visib_joints2Dsamples"] = 0.0
 
-    def update_per_batch(
-        self, split: str, loss, pred_dict, target_dict, batch_size: int,
+    def batch_sums_device(
+        self, loss, pred_dict, target_dict,
         pred_tpose_vertices=None, target_tpose_vertices=None,
     ):
-        """pred joints2D arrive normalised to [-1,1] (as produced by the
-        train step); they are un-normalised here (reference :179,191)."""
-        assert split in ("train", "val")
-        self.loss_metric_sums[f"{split}_losses"] += float(loss) * batch_size
-        self.loss_metric_sums[f"{split}_num_samples"] += batch_size
+        """Everything one batch contributes, reduced to a small DEVICE pytree
+        (a dozen scalars) with no host sync.  The epoch loop queues these and
+        flushes them through `add_batch_sums` with ONE `jax.device_get` per
+        epoch — a per-batch fetch costs an RTT through the device tunnel
+        (~30 ms, ~18% of a train iteration; docs/DESIGN.md "Measurement
+        methodology").
 
+        pred joints2D arrive normalised to [-1,1] (as produced by the train
+        step); they are un-normalised here (reference :179,191)."""
         pred = dict(pred_dict)
         if "joints2D" in pred:
             pred["joints2D"] = undo_keypoint_normalisation(pred["joints2D"], self.img_wh)
@@ -107,12 +110,23 @@ class TrainingLossesAndMetricsTracker:
             target["tpose_verts3D"] = target_tpose_vertices
 
         _, sums = compute_batch_metrics(self.metrics_to_track, pred, target)
-        # one device→host round-trip for everything this batch needs (each
-        # separate float()/np.asarray sync costs an RTT through the device
-        # tunnel — see metrics/eval_metrics.py)
-        sums, pred_j2d, target_j2d = jax.device_get(
-            (sums, pred.get("joints2D"), target.get("joints2D"))
-        )
+        out = {"loss": loss, "sums": sums}
+        if "joints2D-L2E" in self.metrics_to_track:
+            # the reference train tracker does NOT visibility-mask the
+            # point-estimate J2D metric (:180-181); sums[...] is the masked
+            # value, so also reduce the unmasked error on device
+            out["j2d_unmasked"] = jnp.linalg.norm(
+                jnp.asarray(pred["joints2D"]) - jnp.asarray(target["joints2D"]),
+                axis=-1,
+            ).sum()
+        return out
+
+    def add_batch_sums(self, split: str, host_vals, batch_size: int):
+        """Accumulate one batch's fetched `batch_sums_device` pytree."""
+        assert split in ("train", "val")
+        self.loss_metric_sums[f"{split}_losses"] += float(host_vals["loss"]) * batch_size
+        self.loss_metric_sums[f"{split}_num_samples"] += batch_size
+        sums = host_vals["sums"]
         for m in self.metrics_to_track:
             if m == "joints2Dsamples-L2E":
                 self.loss_metric_sums[f"{split}_{m}"] += float(sums[m])
@@ -120,13 +134,24 @@ class TrainingLossesAndMetricsTracker:
                     sums["num_vis_joints2Dsamples-L2E"]
                 )
             elif m == "joints2D-L2E":
-                # the reference train tracker does NOT visibility-mask the
-                # point-estimate J2D metric (:180-181); sums[m] here is the
-                # masked value, so recompute unmasked from per-frame * count
-                err = np.linalg.norm(pred_j2d - target_j2d, axis=-1)
-                self.loss_metric_sums[f"{split}_{m}"] += float(err.sum())
+                self.loss_metric_sums[f"{split}_{m}"] += float(
+                    host_vals["j2d_unmasked"]
+                )
             else:
                 self.loss_metric_sums[f"{split}_{m}"] += float(sums[m])
+
+    def update_per_batch(
+        self, split: str, loss, pred_dict, target_dict, batch_size: int,
+        pred_tpose_vertices=None, target_tpose_vertices=None,
+    ):
+        """Immediate-sync variant: one device→host round-trip per batch."""
+        vals = jax.device_get(
+            self.batch_sums_device(
+                loss, pred_dict, target_dict,
+                pred_tpose_vertices, target_tpose_vertices,
+            )
+        )
+        self.add_batch_sums(split, vals, batch_size)
 
     def update_per_epoch(self):
         h = self.epochs_history

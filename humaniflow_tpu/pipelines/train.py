@@ -288,6 +288,10 @@ def train_humaniflow(
     bsz = cfg.TRAIN.BATCH_SIZE
     for epoch in range(current_epoch, num_epochs):
         tracker.initialise_loss_metric_sums()
+        # Per-batch scalar sums stay ON DEVICE and are fetched in one
+        # device_get at epoch end — a per-step fetch costs a tunnel RTT
+        # (~30 ms, measured 178 vs 152 ms/iter; docs/DESIGN.md).
+        pending_meta, pending_vals = [], []
         for split, dataset in (("train", train_dataset), ("val", val_dataset)):
             step_count = 0
             for host_batch in dataset.epoch_batches(bsz):
@@ -310,8 +314,8 @@ def train_humaniflow(
                     _, _, metrics = val_step(params, opt_state, batch, k2)
                 mt = metrics.pop("metric_tensors", None)
                 if mt is not None and metrics_to_track:
-                    tracker.update_per_batch(
-                        split, float(metrics["total"]),
+                    vals = tracker.batch_sums_device(
+                        metrics["total"],
                         {
                             "verts3D": mt["pred_verts3D"],
                             "joints3D": mt["pred_joints3D"],
@@ -323,16 +327,16 @@ def train_humaniflow(
                             "joints2D": batch["joints2D"],
                             "joints2D_vis": batch["joints2D_vis"],
                         },
-                        bsz,
                     )
                 else:
-                    tracker.loss_metric_sums[f"{split}_losses"] += (
-                        float(metrics["total"]) * bsz
-                    )
-                    tracker.loss_metric_sums[f"{split}_num_samples"] += bsz
+                    vals = {"loss": metrics["total"], "sums": {}}
+                pending_meta.append((split, bsz))
+                pending_vals.append(vals)
                 step_count += 1
                 if steps_per_epoch is not None and step_count >= steps_per_epoch:
                     break
+        for (split, b), vals in zip(pending_meta, jax.device_get(pending_vals)):
+            tracker.add_batch_sums(split, vals, b)
         tracker.update_per_epoch()
 
         if tracker.determine_save_model_weights_this_epoch(

@@ -386,6 +386,35 @@ class TestEvalMetrics:
         np.testing.assert_allclose(tracker.epochs_history["train_joints2D-L2E"][-1], 0.0, atol=1e-6)
         assert tracker.determine_save_model_weights_this_epoch(["PVE"], {"PVE": 1.0})
 
+    def test_deferred_batch_sums_match_immediate(self, tmp_path):
+        """batch_sums_device + one device_get + add_batch_sums (the epoch
+        loop's batched-sync path) accumulates EXACTLY what the immediate
+        update_per_batch does."""
+        rng = np.random.default_rng(1)
+        pred = {
+            "verts3D": jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32),
+            "joints2D": jnp.asarray(rng.uniform(-1, 1, size=(2, 17, 2)), jnp.float32),
+        }
+        target = {
+            "verts3D": jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32),
+            "joints2D": jnp.asarray(rng.uniform(0, 32, size=(2, 17, 2)), jnp.float32),
+        }
+        metrics = ("PVE", "joints2D-L2E")
+        t_imm = TrainingLossesAndMetricsTracker(metrics, img_wh=32)
+        t_imm.initialise_loss_metric_sums()
+        t_imm.update_per_batch("train", 1.5, pred, target, 2)
+
+        t_def = TrainingLossesAndMetricsTracker(metrics, img_wh=32)
+        t_def.initialise_loss_metric_sums()
+        vals = jax.device_get(
+            t_def.batch_sums_device(jnp.float32(1.5), pred, target)
+        )
+        t_def.add_batch_sums("train", vals, 2)
+        for k, v in t_imm.loss_metric_sums.items():
+            np.testing.assert_allclose(
+                t_def.loss_metric_sums[k], v, rtol=1e-6, err_msg=k
+            )
+
     def test_resume_truncation(self, tmp_path):
         path = str(tmp_path / "log.pkl")
         t1 = TrainingLossesAndMetricsTracker(("PVE",), 32, log_save_path=path)
