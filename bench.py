@@ -164,6 +164,48 @@ def bench_inference(cfg, model, params, smpl):
     }
 
 
+def bench_inference_large_batch(cfg, model, params, smpl, batch=128):
+    """Throughput-optimal serving batch: the SAME distribution-inference
+    program at B=128 amortises the flow stack's issue-bound small ops over
+    more images (measured +13% img/s over B=32 on v5e).  Reported in
+    detail; the headline stays at B=32 for cross-round comparability."""
+    from humaniflow_tpu.models import smpl_forward
+    from humaniflow_tpu.models.smpl import smpl_vertex_moments
+
+    @jax.jit
+    def distribution_inference(params, proxy, key):
+        out = model.apply(
+            params, proxy, key=key, num_samples=NUM_SAMPLES,
+            use_shape_mode_for_samples=True,
+        )
+        b = proxy.shape[0]
+        mom = smpl_vertex_moments(
+            smpl,
+            out["shape_samples"].reshape(b * NUM_SAMPLES, -1),
+            out["pose_rotmats_samples"].reshape(b * NUM_SAMPLES, 23, 3, 3),
+            jnp.broadcast_to(
+                out["glob_rotmat"][:, None], (b, NUM_SAMPLES, 3, 3)
+            ).reshape(b * NUM_SAMPLES, 3, 3),
+            num_groups=b,
+        )
+        s1 = mom[:, 0] / NUM_SAMPLES
+        s2 = mom[:, 1] / NUM_SAMPLES
+        vertex_var = jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)
+        point_est = smpl_forward(
+            smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
+        )
+        return point_est["vertices"], vertex_var
+
+    proxy = jax.random.normal(jax.random.PRNGKey(5), (batch, IMG, IMG, 18))
+    key = jax.random.PRNGKey(6)
+    dt = _timed(lambda: distribution_inference(params, proxy, key), n_iters=20)
+    return {
+        "batch": batch,
+        "images_per_sec": batch / dt,
+        "latency_ms_per_batch": dt * 1000,
+    }
+
+
 def bench_train(cfg, model, params, smpl):
     """Full training iteration: jitted synth-data gen + fused train step."""
     import optax
@@ -402,6 +444,10 @@ def main():
 
     inf = bench_inference(cfg, model, params, smpl)
     try:
+        inf_b128 = bench_inference_large_batch(cfg, model, params, smpl)
+    except Exception as e:
+        inf_b128 = {"error": f"{type(e).__name__}: {e}"}
+    try:
         train = bench_train(cfg, model, params, smpl)
     except Exception as e:  # train bench must never take down the headline
         train = {"error": f"{type(e).__name__}: {e}"}
@@ -431,6 +477,10 @@ def main():
         ),
         "inference_stage_ms": inf.get("stage_ms"),
         "smpl_precision_passes": inf.get("smpl_precision_passes"),
+        "inference_max_throughput": {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in inf_b128.items()
+        },
         "train": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in train.items()
