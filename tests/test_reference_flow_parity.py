@@ -260,6 +260,109 @@ def test_whole_model_deterministic_forward_parity(ref_and_jax_models):
     )
 
 
+def test_reference_loss_execution_parity(ref_and_jax_models):
+    """The reference's REAL HumaniflowLoss
+    (/root/reference/losses/humaniflow_loss.py:5-79) — per-part pose NLL
+    through the real conditioned SO(3) dists, shape NLL, visible-joints2D
+    MSE, glob MSE, reference weights — vs our fused humaniflow_loss on the
+    same converted weights and identical inputs."""
+    tm, model, params = ref_and_jax_models
+    rng = np.random.default_rng(11)
+
+    from losses.humaniflow_loss import HumaniflowLoss as RefLoss
+
+    from humaniflow_tpu.configs.defaults import LossConfig
+    from humaniflow_tpu.losses.humaniflow_loss import humaniflow_loss
+
+    loss_cfg = LossConfig()
+    # reference LOSS cfg (configs/humaniflow_config.py:92-104) as namespace
+    ref_loss_cfg = types.SimpleNamespace(
+        REDUCTION=loss_cfg.REDUCTION,
+        APPLY_POINT_EST_LOSS=loss_cfg.APPLY_POINT_EST_LOSS,
+        WEIGHTS=types.SimpleNamespace(
+            POSE=loss_cfg.WEIGHTS.POSE,
+            SHAPE=loss_cfg.WEIGHTS.SHAPE,
+            JOINTS2D=loss_cfg.WEIGHTS.JOINTS2D,
+            GLOB_ROTMATS=loss_cfg.WEIGHTS.GLOB_ROTMATS,
+        ),
+    )
+    img_wh = 256
+    ref_loss = RefLoss(ref_loss_cfg, img_wh)
+
+    x = rng.normal(size=(B, 18, IMG, IMG)).astype(np.float32)
+    shape_t = rng.normal(scale=0.5, size=(B, 10)).astype(np.float32)
+    pose_R = _random_rotmats(B * 23, 12).reshape(B, 23, 3, 3)
+    glob_R = _random_rotmats(B, 13)
+    n_s = 3
+    j2d_pred = rng.uniform(-1, 1, size=(B, n_s, 17, 2)).astype(np.float32)
+    j2d_tgt = rng.uniform(0, img_wh, size=(B, 17, 2)).astype(np.float32)
+    j2d_vis = (rng.uniform(size=(B, 17)) > 0.3)
+    glob_pred = _random_rotmats(B, 14)
+
+    with torch.no_grad():
+        ref_out = tm(
+            torch.tensor(x),
+            compute_point_est=False,
+            num_samples=0,
+            compute_for_loglik=True,
+            shape_for_loglik=torch.tensor(shape_t),
+            pose_R_for_loglik=torch.tensor(pose_R),
+            glob_R_for_loglik=torch.tensor(glob_R),
+        )
+        want = float(
+            ref_loss(
+                target_dict={
+                    "pose_params_rotmats": torch.tensor(pose_R),
+                    "shape_params": torch.tensor(shape_t),
+                    "joints2D": torch.tensor(j2d_tgt),
+                    "joints2D_vis": torch.tensor(j2d_vis),
+                    "glob_rotmats": torch.tensor(glob_R),
+                },
+                pred_dict={
+                    "pose_dist": ref_out[
+                        "conditioned_pose_SO3flow_dists_for_loglik"
+                    ],
+                    "shape_dist": ref_out["shape_dist_for_loglik"],
+                    "joints2D": torch.tensor(j2d_pred),
+                    "glob_rotmats": torch.tensor(glob_pred),
+                },
+            )
+        )
+
+    out = model.apply(
+        params,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        key=jax.random.PRNGKey(0),
+        compute_point_est=False,
+        num_samples=0,
+        compute_for_loglik=True,
+        shape_for_loglik=jnp.asarray(shape_t),
+        pose_R_for_loglik=jnp.asarray(pose_R),
+        glob_R_for_loglik=jnp.asarray(glob_R),
+        train=False,
+    )
+    pose_lp = model.pose_log_prob(
+        params, jnp.asarray(pose_R), out["pose_flow_contexts_for_loglik"]
+    )
+    got, breakdown = humaniflow_loss(
+        loss_cfg, img_wh,
+        pred={
+            "pose_log_probs": pose_lp,
+            "shape_mode": out["shape_mode"],
+            "shape_log_std": out["shape_log_std"],
+            "joints2D": jnp.asarray(j2d_pred),
+            "glob_rotmats": jnp.asarray(glob_pred),
+        },
+        target={
+            "shape_params": jnp.asarray(shape_t),
+            "joints2D": jnp.asarray(j2d_tgt),
+            "joints2D_vis": jnp.asarray(j2d_vis),
+            "glob_rotmats": jnp.asarray(glob_R),
+        },
+    )
+    np.testing.assert_allclose(float(got), want, rtol=2e-4)
+
+
 def test_stub_spline_matches_numpy_oracle():
     """The torch stub's spline (what the reference code runs on) agrees with
     the f64 numpy oracle that pins our JAX spline — closing the triangle
