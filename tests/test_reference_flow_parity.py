@@ -186,6 +186,41 @@ def test_so3_pushforward_log_prob_parity(ref_and_jax_models):
         )
 
 
+def test_so3_log_prob_parity_near_pi(ref_and_jax_models):
+    """Same comparison at the numerically hard angles (SURVEY §7 hard-part
+    #1): θ ≈ π (the xset/logsumexp branch boundary), θ ≈ 0, and θ just
+    inside the 1.5π support radius."""
+    from scipy.spatial.transform import Rotation
+
+    tm, model, params = ref_and_jax_models
+    rng = np.random.default_rng(21)
+
+    axes = rng.normal(size=(4, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    thetas = np.array([np.pi - 1e-3, np.pi - 1e-5, 1e-4, 0.95 * 1.5 * np.pi])
+    rots = Rotation.from_rotvec(axes * thetas[:, None]).as_matrix().astype(
+        np.float32
+    )
+    ctx = rng.normal(size=(4, model.cfg.NORM_FLOW.CONTEXT_DIM)).astype(
+        np.float32
+    )
+    part = 7
+    with torch.no_grad():
+        want = (
+            tm.pose_SO3flow_dists[part]
+            .condition(torch.tensor(ctx))
+            .log_prob(torch.tensor(rots).double())
+            .numpy()
+        )
+    got = np.asarray(
+        model.so3_log_prob_per_part(
+            params, part, jnp.asarray(rots), jnp.asarray(ctx)
+        )
+    )
+    assert np.isfinite(got).all() and np.isfinite(want).all()
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-3)
+
+
 def test_whole_model_deterministic_forward_parity(ref_and_jax_models):
     """Full reference HumaniflowModel.forward (compute_point_est +
     compute_for_loglik, num_samples=0 — the deterministic train-path
