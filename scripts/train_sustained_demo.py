@@ -80,8 +80,9 @@ def main():
     parser.add_argument("--out_dir", "-O", type=str, default="sustained_demo")
     parser.add_argument(
         "--track_metrics", action="store_true",
-        help="track PVE-SC/joints2D-L2E per batch (pulls (B, 6890, 3) "
-        "tensors to the host each step — slow through a tunneled device)",
+        help="track PVE-SC/joints2D-L2E per batch (reduced to scalar sums "
+        "ON DEVICE by the tracker's metric kernel and fetched once per "
+        "epoch — metric tensors never reach the host)",
     )
     args = parser.parse_args()
 

@@ -517,3 +517,151 @@ def test_densepose_14part_parity():
     want = ref_convert(seg.copy())
     got = np.asarray(convert_densepose_seg_to_14part_labels(jnp.asarray(seg)))
     np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------- eval metrics tracker
+
+
+def test_eval_metrics_tracker_parity():
+    """The reference's WHOLE EvalMetricsTracker
+    (metrics/eval_metrics_tracker.py:38-496 — numpy, runs as-is) vs our
+    jitted-kernel tracker on identical synthetic predictions: every metric
+    of the shipped SSP-3D + 3DPW protocols, batch sums AND final
+    reductions.  If the metric definitions drifted, the future
+    real-checkpoint <0.5 mm comparison would be meaningless — this pins
+    them."""
+    from metrics.eval_metrics_tracker import EvalMetricsTracker as RefTracker
+
+    from humaniflow_tpu.metrics.eval_metrics import EvalMetricsTracker
+    from humaniflow_tpu.pipelines.protocols import (
+        EVAL_METRICS_3DPW,
+        EVAL_METRICS_SSP3D,
+    )
+
+    metrics = list(dict.fromkeys(list(EVAL_METRICS_3DPW) + list(EVAL_METRICS_SSP3D)))
+    B, N, V, IMGW = 3, 4, 6890, 64
+    rng = np.random.RandomState(30)
+
+    def body(scale):
+        return {
+            "verts3D": rng.randn(B, V, 3).astype(np.float32) * scale,
+            "tpose_verts3D": rng.randn(B, V, 3).astype(np.float32) * scale,
+            "joints3D": rng.randn(B, 14, 3).astype(np.float32) * scale,
+        }
+
+    pred = body(0.5)
+    target = body(0.5)
+    pred.update({
+        "verts3D_samples": rng.randn(B, N, V, 3).astype(np.float32) * 0.5,
+        "tpose_verts3D_samples": rng.randn(B, N, V, 3).astype(np.float32) * 0.5,
+        "joints3D_samples": rng.randn(B, N, 14, 3).astype(np.float32) * 0.5,
+        "joints3D_coco_samples": rng.randn(B, N, 17, 3).astype(np.float32) * 0.5,
+        "joints2D": (rng.rand(B, 17, 2) * IMGW).astype(np.float32),
+        "joints2Dsamples": (rng.rand(B, N, 17, 2) * IMGW).astype(np.float32),
+        "silhouettes": (rng.rand(B, IMGW, IMGW) > 0.5).astype(np.float32),
+        "silhouettessamples": (rng.rand(B, N, IMGW, IMGW) > 0.5).astype(np.float32),
+    })
+    target.update({
+        "joints2D": (rng.rand(B, 17, 2) * IMGW).astype(np.float32),
+        "joints2D_vis": (rng.rand(B, 17) > 0.3),
+        "silhouettes": (rng.rand(B, IMGW, IMGW) > 0.5).astype(np.float32),
+    })
+
+    # model-input proxy with gaussian joint heatmaps; a few joints left at
+    # zero → invisible inputs, exercising the invis-diversity denominators
+    yy, xx = np.mgrid[0:IMGW, 0:IMGW]
+    heatmaps = np.zeros((B, IMGW, IMGW, 17), np.float32)
+    for b in range(B):
+        for j in range(17):
+            if (b + j) % 5 == 0:
+                continue  # invisible input joint
+            cx, cy = rng.rand(2) * (IMGW - 8) + 4
+            heatmaps[b, :, :, j] = np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 4.0**2)
+            )
+    proxy = np.concatenate(
+        [(rng.rand(B, IMGW, IMGW, 1) > 0.5).astype(np.float32), heatmaps], axis=-1
+    )
+
+    ref = RefTracker(metrics, num_samples_for_prob_metrics=N)
+    ref.initialise_metric_sums()
+    ref.initialise_per_frame_metric_lists()
+    ref.update_per_batch(
+        {k: np.asarray(v, np.float64) for k, v in pred.items()},
+        {k: np.asarray(v, np.float64) for k, v in target.items()},
+        B,
+        model_input=torch.tensor(proxy.transpose(0, 3, 1, 2)),
+    )
+    want = ref.compute_final_metrics()
+
+    ours = EvalMetricsTracker(metrics, num_samples_for_prob_metrics=N)
+    ours.update_per_batch(
+        {k: jnp.asarray(v) for k, v in pred.items()},
+        {k: jnp.asarray(v) for k, v in target.items()},
+        B,
+        model_input=jnp.asarray(proxy),
+    )
+    got = ours.compute_final_metrics()
+    assert want is None  # the reference prints; sums are its ground data
+
+    # metric sums: identical names for the metric values (IOU metrics keep
+    # TP/FP/FN counters instead of a sum — compared below)...
+    for m in metrics:
+        if "IOU" in m:
+            continue
+        np.testing.assert_allclose(
+            ours.metric_sums[m], ref.metric_sums[m], rtol=2e-4, err_msg=m
+        )
+    # ...plus the counters/denominators (two naming deltas on our side)
+    counter_map = {
+        "num_vis_joints2D": "num_vis_joints2D-L2E",
+        "num_vis_joints2Dsamples": "num_vis_joints2Dsamples-L2E",
+        "num_true_positives": None,
+        "num_false_positives": None,
+        "num_false_negatives": None,
+        "num_samples_true_positives": None,
+        "num_samples_false_positives": None,
+        "num_samples_false_negatives": None,
+        "num_invis_joints3Dsamples": None,
+        "num_vis_joints3Dsamples": None,
+    }
+    for ref_key, our_key in counter_map.items():
+        np.testing.assert_allclose(
+            ours.metric_sums[our_key or ref_key],
+            ref.metric_sums[ref_key],
+            rtol=1e-6,
+            err_msg=ref_key,
+        )
+    # and the final reductions, applying the reference's divisors to the
+    # reference's own sums (compute_final_metrics prints without returning)
+    n = ref.num_total_test_data
+    for m in metrics:
+        if m == "silhouette-IOU":
+            w = ref.metric_sums["num_true_positives"] / (
+                ref.metric_sums["num_true_positives"]
+                + ref.metric_sums["num_false_negatives"]
+                + ref.metric_sums["num_false_positives"]
+            )
+        elif m == "silhouettesamples-IOU":
+            w = ref.metric_sums["num_samples_true_positives"] / (
+                ref.metric_sums["num_samples_true_positives"]
+                + ref.metric_sums["num_samples_false_negatives"]
+                + ref.metric_sums["num_samples_false_positives"]
+            )
+        elif m == "joints2D-L2E":
+            w = ref.metric_sums[m] / ref.metric_sums["num_vis_joints2D"]
+        elif m == "joints2Dsamples-L2E":
+            w = ref.metric_sums[m] / ref.metric_sums["num_vis_joints2Dsamples"]
+        elif m == "verts3D_sample_diversity":
+            w = ref.metric_sums[m] / (n * N * V)
+        elif m == "joints3D_sample_diversity":
+            w = ref.metric_sums[m] / (n * N * 17)
+        elif m == "joints3D_invis_sample_diversity":
+            w = ref.metric_sums[m] / ref.metric_sums["num_invis_joints3Dsamples"]
+        elif m == "joints3D_vis_sample_diversity":
+            w = ref.metric_sums[m] / ref.metric_sums["num_vis_joints3Dsamples"]
+        elif "PVE" in m:
+            w = ref.metric_sums[m] / (n * V)
+        else:  # MPJPE variants
+            w = ref.metric_sums[m] / (n * 14)
+        np.testing.assert_allclose(got[m], w, rtol=2e-4, err_msg=m)
