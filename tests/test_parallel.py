@@ -53,3 +53,52 @@ def test_sharded_computation_matches_single(mesh):
     want = float(f(x))
     got = float(f(shard_batch({"x": x}, mesh)["x"]))
     assert got == pytest.approx(want)
+
+
+def test_sample_parallel_inference_matches_unsharded():
+    """Distribution inference over a 2-D (data=2, sample=4) mesh — encoder
+    data-parallel, SMPL/moments stage sharded on the sample axis with a
+    psum combine — equals the unsharded program (same key, same params)."""
+    from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
+    from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl, smpl_forward
+    from humaniflow_tpu.models.smpl import smpl_vertex_moments
+    from humaniflow_tpu.parallel.sample_parallel import (
+        make_mesh_2d,
+        make_sharded_inference_fn,
+    )
+
+    img, b, n = 32, 4, 8
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.MODEL.NUM_RESNET_LAYERS = 18
+    model = HumaniflowModel(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0), input_shape=(1, img, img, 18))
+    smpl = synthetic_smpl(num_verts=128)
+
+    mesh2d = make_mesh_2d(2, 4)
+    infer = make_sharded_inference_fn(model, smpl, mesh2d, num_samples=n)
+    proxy = jax.random.normal(jax.random.PRNGKey(1), (b, img, img, 18))
+    key = jax.random.PRNGKey(2)
+    verts_sh, var_sh = jax.device_get(infer(params, proxy, key))
+
+    # unsharded reference computation
+    out = model.apply(
+        params, proxy, key=key, num_samples=n, use_shape_mode_for_samples=True
+    )
+    mom = smpl_vertex_moments(
+        smpl,
+        out["shape_samples"].reshape(b * n, -1),
+        out["pose_rotmats_samples"].reshape(b * n, 23, 3, 3),
+        jnp.broadcast_to(out["glob_rotmat"][:, None], (b, n, 3, 3)).reshape(
+            b * n, 3, 3
+        ),
+        num_groups=b,
+    )
+    s1 = mom[:, 0] / n
+    s2 = mom[:, 1] / n
+    var = jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)
+    pe = smpl_forward(
+        smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
+    )
+
+    np.testing.assert_allclose(verts_sh, np.asarray(pe["vertices"]), atol=1e-5)
+    np.testing.assert_allclose(var_sh, np.asarray(var), rtol=1e-4, atol=1e-6)
