@@ -129,6 +129,15 @@ class TexturedIUVRenderer:
     # count is 38.1k/mesh, overflowing candidates read a never-inside pad
     # block and are counted in overflow
     binned_live_cap: int = 49152
+    # fused train render: two-level binning cap (binned_rasterizer._bin_faces
+    # tall_cap).  Default None (flat binning): at 8-row strips "tall"
+    # (≥3-strip) faces are common enough that accuracy-preserving caps
+    # measured a net LOSS at training scale (106 → 120-130 ms at
+    # tall_cap=4096/6144; docs/DESIGN.md) — the side table's nonzero +
+    # index gathers cost more than the sort-key reduction saves.  The knob
+    # may win on real SMPL meshes (far fewer stretched faces); measure
+    # before enabling.
+    binned_tall_cap: Optional[int] = None
     # back-face culling for the fused train render: exact for closed,
     # consistently-wound, NON-self-intersecting meshes (real SMPL bodies
     # under training poses).  Measured at training scale on the synthetic
@@ -479,6 +488,7 @@ class TexturedIUVRenderer:
             k_max=self.binned_k_max, row_cand=self.binned_row_cand,
             emit_frags=False, live_cap=self.binned_live_cap,
             cull_sign=1 if self.binned_cull else 0,
+            tall_cap=self.binned_tall_cap,
         )
         mask = frags.mask
         # plane layout: [atlas uv?][lin albedo?][lit rgb?][part][za zb?]

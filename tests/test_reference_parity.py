@@ -17,6 +17,9 @@ Covered (reference file:line):
 * convert_2Djoints_to_gaussian_heatmaps_torch   utils/label_conversions.py:106
 * convert_heatmaps_to_2Djoints_coordinates_torch label_conversions.py:128
 * procrustes_analysis_batch           utils/eval_utils.py:62
+* EvalMetricsTracker                  metrics/eval_metrics_tracker.py:38-496
+* TrainingLossesAndMetricsTracker     metrics/train_loss_and_metrics_tracker.py:8-246
+* sampling utils (variance, J2D-sort) utils/sampling_utils.py:22-74
 """
 
 import sys
@@ -665,3 +668,187 @@ def test_eval_metrics_tracker_parity():
         else:  # MPJPE variants
             w = ref.metric_sums[m] / (n * 14)
         np.testing.assert_allclose(got[m], w, rtol=2e-4, err_msg=m)
+
+
+# ------------------------------------------------- train metrics tracker
+
+
+def test_train_metrics_tracker_parity(tmp_path):
+    """The reference's WHOLE TrainingLossesAndMetricsTracker
+    (metrics/train_loss_and_metrics_tracker.py:8-246 — numpy, runs as-is)
+    vs ours on identical per-batch predictions: all 10 metrics over 2
+    epochs x 2 batches per split, the pickled-history resume truncation
+    (:44-72), and the best-model decision (:238-245)."""
+    from metrics.train_loss_and_metrics_tracker import (
+        TrainingLossesAndMetricsTracker as RefTracker,
+    )
+
+    from humaniflow_tpu.metrics.train_metrics import (
+        ALL_METRICS,
+        TrainingLossesAndMetricsTracker,
+    )
+
+    B, N, V, IMGW = 3, 4, 6890, 64
+    rng = np.random.RandomState(77)
+    ref_log = str(tmp_path / "ref_log.pkl")
+    our_log = str(tmp_path / "our_log.pkl")
+    ref = RefTracker(list(ALL_METRICS), IMGW, ref_log, load_logs=False)
+    ours = TrainingLossesAndMetricsTracker(
+        list(ALL_METRICS), IMGW, our_log, load_logs=False
+    )
+
+    def batch():
+        pred = {
+            "verts3D": rng.randn(B, V, 3).astype(np.float32) * 0.5,
+            "joints3D": rng.randn(B, 14, 3).astype(np.float32) * 0.5,
+            "joints2D": rng.uniform(-1, 1, (B, 17, 2)).astype(np.float32),
+            "joints2Dsamples": rng.uniform(-1, 1, (B, N, 17, 2)).astype(
+                np.float32
+            ),
+        }
+        target = {
+            "verts3D": rng.randn(B, V, 3).astype(np.float32) * 0.5,
+            "joints3D": rng.randn(B, 14, 3).astype(np.float32) * 0.5,
+            "joints2D": (rng.rand(B, 17, 2) * IMGW).astype(np.float32),
+            "joints2D_vis": rng.rand(B, 17) > 0.3,
+        }
+        tpose = (
+            rng.randn(B, V, 3).astype(np.float32) * 0.5,
+            rng.randn(B, V, 3).astype(np.float32) * 0.5,
+        )
+        return float(rng.rand() * 10), pred, target, tpose
+
+    for _epoch in range(2):
+        ref.initialise_loss_metric_sums()
+        ours.initialise_loss_metric_sums()
+        for split in ("train", "val"):
+            for _ in range(2):
+                loss, pred, target, (ptp, ttp) = batch()
+                ref.update_per_batch(
+                    split,
+                    torch.tensor(loss),
+                    {k: torch.from_numpy(v.copy()) for k, v in pred.items()},
+                    {k: torch.from_numpy(np.asarray(v)) for k, v in target.items()},
+                    B,
+                    pred_tpose_vertices=torch.from_numpy(ptp.copy()),
+                    target_tpose_vertices=torch.from_numpy(ttp.copy()),
+                )
+                ours.update_per_batch(
+                    split,
+                    jnp.asarray(loss),
+                    {k: jnp.asarray(v) for k, v in pred.items()},
+                    {k: jnp.asarray(v) for k, v in target.items()},
+                    B,
+                    pred_tpose_vertices=jnp.asarray(ptp),
+                    target_tpose_vertices=jnp.asarray(ttp),
+                )
+        ref.update_per_epoch()
+        ours.update_per_epoch()
+
+    assert set(ref.epochs_history) == set(ours.epochs_history)
+    for key in ref.epochs_history:
+        np.testing.assert_allclose(
+            ours.epochs_history[key], ref.epochs_history[key],
+            rtol=2e-4, err_msg=key,
+        )
+
+    # best-model decision: thresholds straddling the epoch-2 values so both
+    # the save and no-save branches are exercised
+    save_val_metrics = ["PVE-SC", "joints2D-L2E"]
+    for bump in (+1e-3, -1e-3):
+        best = {
+            m: ref.epochs_history["val_" + m][-1] + bump
+            for m in save_val_metrics
+        }
+        assert ours.determine_save_model_weights_this_epoch(
+            save_val_metrics, best
+        ) == ref.determine_save_model_weights_this_epoch(save_val_metrics, best)
+
+    # resume: reload each tracker's own pickled log truncated to epoch 1
+    ref2 = RefTracker(list(ALL_METRICS), IMGW, ref_log, load_logs=True,
+                      current_epoch=1)
+    ours2 = TrainingLossesAndMetricsTracker(
+        list(ALL_METRICS), IMGW, our_log, load_logs=True, current_epoch=1
+    )
+    assert set(ref2.epochs_history) == set(ours2.epochs_history)
+    for key in ref2.epochs_history:
+        assert len(ours2.epochs_history[key]) == 1
+        np.testing.assert_allclose(
+            ours2.epochs_history[key], ref2.epochs_history[key],
+            rtol=2e-4, err_msg=key,
+        )
+
+
+# ------------------------------------------------------- sampling utils
+
+
+def test_sampling_utils_parity():
+    """Reference utils/sampling_utils.py:22-74 (vertex variance +
+    J2D-error-sorted sample selection) run as-is vs ours on shared
+    inputs."""
+    import utils.rigid_transform_utils as rtu
+
+    if not hasattr(rtu, "so3_exp_pytorch3d"):
+        # pytorch3d is not installed; its so3_exp_map is standard Rodrigues
+        # (pytorch3d/transforms/so3.py::_so3_exp_map: R = I + sin(θ)/θ·K +
+        # (1-cosθ)/θ²·K², K = hat(r)) — inject a faithful torch stand-in so
+        # the reference's aa_rotate_translate_points_pytorch3d runs as-is
+        def _so3_exp_map_stub(log_rot):
+            theta = torch.clamp((log_rot * log_rot).sum(-1), 1e-8).sqrt()
+            x, y, z = log_rot.unbind(-1)
+            zero = torch.zeros_like(x)
+            k = torch.stack(
+                [zero, -z, y, z, zero, -x, -y, x, zero], dim=-1
+            ).reshape(-1, 3, 3)
+            eye = torch.eye(3).expand(log_rot.shape[0], 3, 3)
+            f1 = (torch.sin(theta) / theta)[:, None, None]
+            f2 = ((1 - torch.cos(theta)) / theta**2)[:, None, None]
+            return eye + f1 * k + f2 * torch.bmm(k, k)
+
+        rtu.so3_exp_pytorch3d = _so3_exp_map_stub
+
+    from utils.sampling_utils import (
+        compute_vertex_variance_from_samples as ref_var,
+        joints2D_error_sorted_verts_sampling as ref_sort,
+    )
+
+    from humaniflow_tpu.utils.sampling import (
+        compute_vertex_variance_from_samples,
+        joints2d_error_sorted_verts_sampling,
+    )
+
+    rng = np.random.RandomState(5)
+    N, V, IMGW = 8, 200, 64
+    verts = rng.randn(N, V, 3).astype(np.float32)
+
+    want_l2, want_dir = ref_var(torch.from_numpy(verts))
+    got_l2, got_dir = compute_vertex_variance_from_samples(jnp.asarray(verts))
+    np.testing.assert_allclose(np.asarray(got_l2), want_l2.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dir), want_dir.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    # error-sorted sampling: gaussian heatmaps with some invisible joints
+    joints = rng.randn(N, 90, 3).astype(np.float32) * 0.5
+    cam = np.array([[0.8, 0.05, -0.1]], np.float32)
+    yy, xx = np.mgrid[0:IMGW, 0:IMGW]
+    heatmaps = np.zeros((1, 17, IMGW, IMGW), np.float32)
+    for j in range(17):
+        if j % 5 == 0:
+            continue  # invisible input joint
+        cx, cy = rng.rand(2) * (IMGW - 8) + 4
+        heatmaps[0, j] = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 4.0**2))
+
+    want = ref_sort(
+        torch.from_numpy(verts),
+        torch.from_numpy(joints),
+        torch.from_numpy(heatmaps),
+        torch.from_numpy(cam),
+    ).numpy()
+    got = np.asarray(
+        joints2d_error_sorted_verts_sampling(
+            jnp.asarray(verts), jnp.asarray(joints), jnp.asarray(heatmaps),
+            jnp.asarray(cam),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
