@@ -205,3 +205,59 @@ def test_real_hrnet_batched_forward(monkeypatch):
     assert out["cropped_images"].shape == (2, 96, 64, 3)
     assert out["joints2D"].shape == (2, 17, 2)
     assert np.isfinite(out["joints2D"]).all()
+
+
+def test_torchvision_adapter_with_fake_backend(monkeypatch):
+    """Drives `detect_person_bbox_torchvision` through a FAKE torchvision
+    (torchvision is not installed here): canned Mask-RCNN predictions with
+    two confident persons, one low-score person and one non-person.  The
+    adapter must filter to confident persons and pick the CENTRE-most box
+    — the reference's selection (predict/predict_hrnet.py:55-76)."""
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    h, w = 200, 160
+    # boxes are (x1, y1, x2, y2)
+    boxes = torch.tensor(
+        [
+            [10.0, 10.0, 50.0, 90.0],     # person, confident, off-centre
+            [60.0, 40.0, 120.0, 180.0],   # person, confident, central → winner
+            [70.0, 50.0, 110.0, 170.0],   # person, low score
+            [65.0, 45.0, 115.0, 175.0],   # non-person (label 2), central
+        ]
+    )
+    pred = {
+        "boxes": boxes,
+        "labels": torch.tensor([1, 1, 1, 2]),
+        "scores": torch.tensor([0.99, 0.97, 0.50, 0.99]),
+    }
+
+    class _FakeMaskRCNN:
+        def eval(self):
+            return self
+
+        def __call__(self, images):
+            assert images[0].shape == (3, h, w)
+            return [pred]
+
+    detection = types.ModuleType("torchvision.models.detection")
+    detection.maskrcnn_resnet50_fpn = lambda pretrained=True: _FakeMaskRCNN()
+    models_mod = types.ModuleType("torchvision.models")
+    models_mod.detection = detection
+    tv = types.ModuleType("torchvision")
+    tv.models = models_mod
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.models", models_mod)
+    monkeypatch.setitem(sys.modules, "torchvision.models.detection", detection)
+
+    image = np.zeros((h, w, 3), np.float32)
+    centre, height, width = ph.detect_person_bbox_torchvision(image, threshold=0.95)
+    # winner = box 1: centre (y, x) = (110, 90), height 140, width 60
+    np.testing.assert_allclose(centre, [110.0, 90.0])
+    assert height == 140.0 and width == 60.0
+
+    # no confident person → None (whole-image fallback upstream)
+    pred["scores"] = torch.tensor([0.5, 0.5, 0.5, 0.99])
+    assert ph.detect_person_bbox_torchvision(image, threshold=0.95) is None
