@@ -81,7 +81,10 @@ def _compiled_flops(jitted, *args) -> float:
         return 0.0
 
 
-def bench_inference(cfg, model, params, smpl):
+def _make_distribution_inference(model, smpl):
+    """The ONE measured distribution-inference program, shared by the
+    headline (B=32), max-throughput (B=128) and single-image-latency (B=1)
+    benchmarks so they can never silently diverge."""
     from humaniflow_tpu.models import smpl_forward
     from humaniflow_tpu.models.smpl import smpl_vertex_moments
 
@@ -113,6 +116,14 @@ def bench_inference(cfg, model, params, smpl):
             smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
         )
         return point_est["vertices"], vertex_var
+
+    return distribution_inference
+
+
+def bench_inference(cfg, model, params, smpl):
+    from humaniflow_tpu.models.smpl import smpl_vertex_moments
+
+    distribution_inference = _make_distribution_inference(model, smpl)
 
     proxy = jax.random.normal(jax.random.PRNGKey(1), (BATCH, IMG, IMG, 18))
     key = jax.random.PRNGKey(2)
@@ -169,32 +180,7 @@ def bench_inference_large_batch(cfg, model, params, smpl, batch=128):
     program at B=128 amortises the flow stack's issue-bound small ops over
     more images (measured +13% img/s over B=32 on v5e).  Reported in
     detail; the headline stays at B=32 for cross-round comparability."""
-    from humaniflow_tpu.models import smpl_forward
-    from humaniflow_tpu.models.smpl import smpl_vertex_moments
-
-    @jax.jit
-    def distribution_inference(params, proxy, key):
-        out = model.apply(
-            params, proxy, key=key, num_samples=NUM_SAMPLES,
-            use_shape_mode_for_samples=True,
-        )
-        b = proxy.shape[0]
-        mom = smpl_vertex_moments(
-            smpl,
-            out["shape_samples"].reshape(b * NUM_SAMPLES, -1),
-            out["pose_rotmats_samples"].reshape(b * NUM_SAMPLES, 23, 3, 3),
-            jnp.broadcast_to(
-                out["glob_rotmat"][:, None], (b, NUM_SAMPLES, 3, 3)
-            ).reshape(b * NUM_SAMPLES, 3, 3),
-            num_groups=b,
-        )
-        s1 = mom[:, 0] / NUM_SAMPLES
-        s2 = mom[:, 1] / NUM_SAMPLES
-        vertex_var = jnp.maximum(s2 - s1 * s1, 0.0).sum(axis=1)
-        point_est = smpl_forward(
-            smpl, out["shape_mode"], out["pose_rotmats_point_est"], out["glob_rotmat"]
-        )
-        return point_est["vertices"], vertex_var
+    distribution_inference = _make_distribution_inference(model, smpl)
 
     proxy = jax.random.normal(jax.random.PRNGKey(5), (batch, IMG, IMG, 18))
     key = jax.random.PRNGKey(6)
@@ -448,6 +434,14 @@ def main():
     except Exception as e:
         inf_b128 = {"error": f"{type(e).__name__}: {e}"}
     try:
+        # BASELINE.md's named serving metric: single-image 100-sample latency
+        inf_b1 = bench_inference_large_batch(cfg, model, params, smpl, batch=1)
+        inf_b1 = {"latency_1img_100samples_ms": round(
+            inf_b1["latency_ms_per_batch"], 2
+        )}
+    except Exception as e:
+        inf_b1 = {"error": f"{type(e).__name__}: {e}"}
+    try:
         train = bench_train(cfg, model, params, smpl)
     except Exception as e:  # train bench must never take down the headline
         train = {"error": f"{type(e).__name__}: {e}"}
@@ -481,6 +475,7 @@ def main():
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in inf_b128.items()
         },
+        "inference_single_image": inf_b1,
         "train": {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in train.items()

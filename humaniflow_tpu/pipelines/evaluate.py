@@ -190,8 +190,11 @@ def make_eval_step(
 
 def _render_sample_silhouettes(renderer, verts_samples, cam_wp, chunk=8):
     """Silhouettes for all (B, N) sample meshes as a (B, N, wh, wh) bool mask,
-    plus the summed binning-overflow count (0 ⇒ masks exactly match the
-    XLA coverage scan).
+    plus the summed binning-overflow count.  At overflow 0 the binned masks
+    are near-exact vs the XLA coverage scan (bit-exact except ~1 px per 64
+    renders through the 2-face DensePose seam hole under back-face culling
+    — renderer.render_silhouette_with_overflow's contract); construct the
+    renderer with silhouette_exact=True for the bit-exact scan.
 
     Renders `chunk` samples per call through the renderer's jitted coverage
     path (flipping verts to the y-down render convention, same cam as the
@@ -264,7 +267,11 @@ def evaluate_humaniflow(
         key = jax.random.PRNGKey(0)
 
     fname_list, pose_list, shape_list, cam_list = [], [], [], []
-    sil_overflow = jnp.zeros((), jnp.int32)  # one host sync at the end
+    # fetched per batch alongside the tracker's own host sync (one extra
+    # scalar on an already-paid RTT) so the operator learns about binning
+    # overflow on the batch it happens, not after the whole run
+    sil_overflow_total = 0
+    sil_overflow_warned = False
 
     def prepare(batch):
         """Host-side batch assembly + device transfer.
@@ -333,7 +340,7 @@ def evaluate_humaniflow(
             sil, ov = renderer.render_silhouette_with_overflow(
                 extra["verts_flipped_point_est"], extra["cam_wp"]
             )
-            sil_overflow = sil_overflow + ov.sum()
+            sil_overflow_batch = ov.sum()
             pred["silhouettes"] = sil
             target["silhouettes"] = jnp.asarray(silhouette_target)
             if compute_sil_samples and compute_samples:
@@ -346,7 +353,18 @@ def evaluate_humaniflow(
                     renderer, pred["verts3D_samples"], extra["cam_wp"],
                     chunk=silhouette_sample_chunk,
                 )
-                sil_overflow = sil_overflow + ov_s
+                sil_overflow_batch = sil_overflow_batch + ov_s
+            ov_batch = int(np.asarray(sil_overflow_batch))
+            sil_overflow_total += ov_batch
+            if ov_batch > 0 and not sil_overflow_warned:
+                sil_overflow_warned = True
+                print(
+                    f"WARNING: silhouette binning overflowed {ov_batch} "
+                    "(face, strip) pairs in this batch — IOU metrics will "
+                    "deviate from the exact scan; abort and re-run with "
+                    "--exact_silhouettes "
+                    "(TexturedIUVRenderer(silhouette_exact=True))."
+                )
 
         tracker.update_per_batch(pred, target, b, model_input=proxy)
         if batch_times is not None:
@@ -358,15 +376,14 @@ def evaluate_humaniflow(
             shape_list.append(np.asarray(extra["shape_mode"]))
             cam_list.append(np.asarray(extra["cam_wp"]))
 
-    if compute_silhouettes and renderer is not None:
-        ov_total = int(np.asarray(sil_overflow))
-        if ov_total > 0:
-            print(
-                f"WARNING: silhouette binning overflowed {ov_total} "
-                "(face, strip) pairs — silhouette-IOU metrics may deviate "
-                "from the exact scan; re-run with a higher "
-                "binned_row_cand/k_max or silhouette_backend='exact'."
-            )
+    if compute_silhouettes and renderer is not None and sil_overflow_total > 0:
+        print(
+            f"WARNING: silhouette binning overflowed {sil_overflow_total} "
+            "(face, strip) pairs over the run — silhouette-IOU metrics "
+            "deviate from the exact scan.  Re-run with the exact silhouette "
+            "path: TexturedIUVRenderer(silhouette_exact=True) "
+            "(scripts/run_evaluate.py --exact_silhouettes)."
+        )
 
     final_metrics = tracker.compute_final_metrics(num_verts=smpl_neutral.num_verts)
 

@@ -280,19 +280,29 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     # depth bits so each strip window is ASCENDING in face id — the
     # downstream per-slot coefficient gather then reads near-sequentially
     # (measured ~3x faster than the z-shuffled gather)
-    if z_order:
+    #
+    # pack (strip·2^z_bits + zq) << 14 | fid into ONE int32 and single-array
+    # sort: halves the sort network's data movement vs sort_key_val pairs
+    # (22.7 -> 17.8 ms at training scale).  Bit budget (sign-safe 31 bits):
+    # fid 14 b, strip+depth get the rest — z_bits adapts so the sentinel
+    # key s·2^z_bits always fits (10 b at 256², 9 b at 384², …); at very
+    # large strip counts the depth ordering degrades gracefully to coarser
+    # buckets instead of silently overflowing int32.
+    assert f < (1 << 14)
+    assert s < (1 << 17), f"{s} strips cannot be packed into int32 sort keys"
+    z_bits = 0
+    while z_bits < 10 and (s << (z_bits + 1)) < (1 << 17):
+        z_bits += 1
+    zscale = 1 << z_bits
+    if z_order and z_bits > 0:
         zmean = tri[:, 2::3].mean(1)
         zlo = zmean.min()
         zspan = jnp.maximum(zmean.max() - zlo, 1e-6)
-        zq = jnp.clip((zmean - zlo) / zspan * 1023.0, 0, 1023).astype(jnp.int32)
+        zq = jnp.clip(
+            (zmean - zlo) / zspan * (zscale - 1.0), 0, zscale - 1
+        ).astype(jnp.int32)
     else:
         zq = jnp.zeros((f,), jnp.int32)
-
-    # pack (strip·1024 + zq) << 14 | fid into ONE int32 and single-array
-    # sort: halves the sort network's data movement vs sort_key_val pairs
-    # (22.7 -> 17.8 ms at training scale).  Bits: key ≤ 65·1024 (17 b),
-    # fid < 16384 (14 b) — 31 bits, sign-safe.
-    assert f < (1 << 14)
     if cull_sign != 0:
         x0, y0 = tri[:, 0], tri[:, 1]
         x1, y1 = tri[:, 3], tri[:, 4]
@@ -312,7 +322,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
             for ci, c in enumerate((c0_, c1_)):
                 col_ok = (c >= 0) & (c < n_col) & ((ci == 0) | (c1_ > c0_))
                 ok = row_ok & col_ok
-                key = jnp.where(ok, (r * n_col + c) * 1024 + zq_, s * 1024)
+                key = jnp.where(ok, (r * n_col + c) * zscale + zq_, s * zscale)
                 out.append((key << 14) | fid_)
         return out
 
@@ -338,7 +348,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     vals = jnp.pad(vals, (0, n_pad - n))
 
     start = jnp.searchsorted(
-        keys, jnp.arange(s + 1, dtype=jnp.int32) * 1024
+        keys, jnp.arange(s + 1, dtype=jnp.int32) * zscale
     ).astype(jnp.int32)
     raw = start[1:] - start[:-1]
     counts = jnp.minimum(raw, k_max)
@@ -509,9 +519,12 @@ def _make_coverage_kernel(n_col_strips, strip_rows=STRIP_ROWS):
     is two edge-plane FMAs + an inside test + one select (~half the full
     kernel), and the binning gathers only the 6 edge-coefficient rows.
     Exact whenever overflow == 0 (the candidate set is identical to the
-    full kernel's); with z-sorted candidates, overflow drops only the
-    FARTHEST faces — for a closed body mesh those are back-surface faces
-    whose pixels the front surface already covers."""
+    full kernel's).  NOTE the coverage path bins with z_order=False (for
+    the near-sequential coefficient gather), so k_max overflow drops the
+    HIGHEST-face-id candidates — arbitrary with respect to visibility,
+    unlike the z-ordered full kernel whose overflow drops occluded far
+    faces.  Callers must treat ANY nonzero overflow as a signal to re-run
+    through the exact scan, not as bounded damage."""
 
     def kernel(bounds_ref, coef_ref, cover_ref):
         si = pl.program_id(1)

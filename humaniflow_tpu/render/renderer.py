@@ -166,6 +166,11 @@ class TexturedIUVRenderer:
     # FARTHEST (z-buffer-occluded) faces — lower values cut the coefficient
     # -gather and kernel-chunk cost (see binned_rasterizer.rasterize_binned)
     binned_k_max: int = 896
+    # silhouette path: route render_silhouette_with_overflow through the
+    # exact per-pixel coverage scan instead of the culled binned kernel —
+    # bit-exact by construction (no seam-hole/overflow caveats) at ~3x the
+    # cost.  scripts/run_evaluate.py --exact_silhouettes.
+    silhouette_exact: bool = False
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
@@ -181,10 +186,14 @@ class TexturedIUVRenderer:
         # None→array change simply retraces)
         self._render_jit = jax.jit(self._render)
         self._silhouette_jit = jax.jit(self._render_silhouette_impl)
+        assert self.texture_sampling in ("pixel", "vertex", "face")
         # silhouette-with-overflow routing: the binned coverage kernel where
-        # Pallas is available, the exact scan elsewhere
+        # Pallas is available (unless the caller asked for the exact scan),
+        # the exact scan elsewhere
         self._sil_binned = (
-            jax.default_backend() != "cpu" and self.img_wh % 128 == 0
+            not self.silhouette_exact
+            and jax.default_backend() != "cpu"
+            and self.img_wh % 128 == 0
         )
         if self._sil_binned:
             self._silhouette_binned_jit = jax.jit(
@@ -610,24 +619,24 @@ class TexturedIUVRenderer:
         from .binned_rasterizer import rasterize_binned_coverage
 
         screen = self._sil_screen(vertices, cam_wp)
-        # TALL (32-row) strips + back-face culling.  Coverage has no
-        # z-buffer, so unlike the train render the kernel cost is instance
-        # -issue-bound, not edge-test-bound — and a body face (~2-6 px
-        # tall) almost never crosses a 32 px strip.  vs the 8-row config:
-        # sort keys 170k -> 67k/mesh, live candidates 21k -> 11k, kernel
-        # instances 64 -> 16, and per-strip occupancy fits a far larger
-        # k_max in SMEM (6 coef rows only): measured 1.23 -> 0.64 ms/mesh
-        # with overflow 0 (vs 249) on protocol-scale draws and 4x lower
-        # overflow on hard draws (docs/DESIGN.md "Evaluation-protocol
-        # performance").  Culling is near-exact for the consistently-wound
-        # SMPL body: the DensePose face table is 13,774 faces (2 short of
-        # the closed 13,776), so a pixel seen through the seam hole keeps
-        # only its back face — measured 1 px per ~64 renders vs the
-        # all-faces union (tests/test_binned_rasterizer.py).  Binning
-        # drops land in `overflow` for the caller's batched host sync.
+        # TALL (64-row) strips + back-face culling.  Coverage has no
+        # z-buffer, so unlike the train render the kernel cost is binning
+        # -bound (sort + gather + key build ≈ 0.45 of 0.65 ms/mesh at
+        # 32 rows), not edge-test-bound — and a body face (~2-6 px tall)
+        # almost never crosses a tall strip boundary, so taller strips cut
+        # sort keys and kernel instances: 8-row 1.23 → 32-row 0.652 →
+        # 64-row 0.608 ms/mesh, with 2.5-4x LOWER overflow on hard draws
+        # (0/175/1061 vs 0/449/3972 at pose-scale 0.25/0.6/0.9;
+        # docs/DESIGN.md "Evaluation-protocol performance").  Culling is
+        # near-exact for the consistently-wound SMPL body: the DensePose
+        # face table is 13,774 faces (2 short of the closed 13,776), so a
+        # pixel seen through the seam hole keeps only its back face —
+        # measured 1 px per ~64 renders vs the all-faces union
+        # (tests/test_binned_rasterizer.py).  Binning drops land in
+        # `overflow` for the caller's batched host sync.
         mask, overflow = rasterize_binned_coverage(
             screen, self.dp["faces"], self.img_wh,
-            strip_rows=32, k_max=4352, row_cand=8, tall_cap=1024,
+            strip_rows=64, k_max=8576, row_cand=6, tall_cap=512,
             live_cap=16384, cull_sign=1,
         )
         return mask.astype(jnp.float32), overflow
@@ -642,12 +651,21 @@ class TexturedIUVRenderer:
     def render_silhouette_with_overflow(self, vertices, cam_wp):
         """Silhouette masks plus a per-mesh overflow count.
 
-        On TPU (img_wh % 128 == 0) this routes through the coverage
-        -specialized binned kernel (`rasterize_binned_coverage`) — ~3x the
-        exact scan's throughput at SSP-3D sample-silhouette scale, and
-        IDENTICAL output whenever overflow == 0 (callers accumulate the
-        count into their batched host sync and fall back/warn if it ever
-        fires; measured 0 at body-mesh scale).  Elsewhere it is the exact
+        On TPU (img_wh % 128 == 0, silhouette_exact=False) this routes
+        through the coverage-specialized binned kernel
+        (`rasterize_binned_coverage`) with back-face culling — ~3x the
+        exact scan's throughput at SSP-3D sample-silhouette scale.
+        Accuracy contract: the kernel itself is bit-exact at overflow 0,
+        but the shipped CULLED config is only near-exact — the DensePose
+        face table is 13,774 faces, 2 short of the closed SMPL 13,776, so
+        a pixel visible only through that seam hole keeps a back face
+        (measured ~1 px per 64 renders, tests/test_binned_rasterizer.py);
+        and overflow on this z_order=False path drops arbitrary
+        (highest-face-id) candidates, NOT guaranteed-occluded ones.
+        Callers must accumulate the overflow count into their batched host
+        sync and treat ANY nonzero value as "re-run with
+        silhouette_exact=True" (measured 0 at body-mesh protocol scale).
+        With silhouette_exact=True, or off-TPU, this is the exact per-pixel
         scan with overflow ≡ 0.
 
         :return: (mask (B, wh, wh) f32, overflow (B,) int32).

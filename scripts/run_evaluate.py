@@ -23,6 +23,11 @@ def main():
                         help="data-parallel evaluation over the first N "
                              "devices (jax.sharding 1-D data mesh); "
                              "default single-device")
+    parser.add_argument("--exact_silhouettes", action="store_true",
+                        help="render eval silhouettes through the exact "
+                             "per-pixel coverage scan instead of the binned "
+                             "kernel (bit-exact, ~3x slower; use when the "
+                             "overflow warning fires)")
     args = parser.parse_args()
 
     from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
@@ -76,7 +81,7 @@ def main():
 
         renderer = TexturedIUVRenderer(
             img_wh=cfg.DATA.PROXY_REP_SIZE, projection_type="orthographic",
-            render_rgb=False,
+            render_rgb=False, silhouette_exact=args.exact_silhouettes,
         )
 
     mesh = None

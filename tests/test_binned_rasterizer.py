@@ -145,11 +145,14 @@ def test_binned_coverage_matches_exact_scan():
 
     mask_x = rasterize_coverage(sv, dp["faces"], 256, chunk=2048)
 
-    # (a) kernel exactness: same face set (no cull), generous caps — the
-    # binned kernel is bit-exact vs the XLA per-pixel scan at overflow 0
+    # (a) kernel exactness at the shipped strip height: same face set (no
+    # cull), generous caps — the binned kernel is bit-exact vs the XLA
+    # per-pixel scan at overflow 0
+    # k_max bound: SMEM blocks pad the 6 coef rows to 8 sublanes and double
+    # -buffer, so K_slots must stay ≤ 1MB/(8·4·2) = 16384 slots
     mask_b, overflow = rasterize_binned_coverage(
-        sv, dp["faces"], 256, cull_sign=0, strip_rows=32,
-        k_max=8576, row_cand=8, tall_cap=2048, live_cap=32768,
+        sv, dp["faces"], 256, cull_sign=0, strip_rows=64,
+        k_max=14336, row_cand=6, tall_cap=2048, live_cap=32768,
     )
     ov = int(np.asarray(overflow).sum())
     agree = (np.asarray(mask_b) == np.asarray(mask_x)).mean()
@@ -166,8 +169,8 @@ def test_binned_coverage_matches_exact_scan():
     # back face — measured exactly 1 px over 64 meshes here.  Bound it
     # per-mesh instead of asserting equality.
     mask_c, ov_c = rasterize_binned_coverage(
-        sv, dp["faces"], 256, cull_sign=1, strip_rows=32,
-        k_max=4352, row_cand=8, tall_cap=1024, live_cap=16384,
+        sv, dp["faces"], 256, cull_sign=1, strip_rows=64,
+        k_max=8576, row_cand=6, tall_cap=512, live_cap=16384,
     )
     diff = np.asarray(mask_c) != np.asarray(mask_x)
     per_mesh = diff.reshape(b, -1).sum(1)
@@ -240,6 +243,10 @@ def test_face_texture_mode_agreement():
     print(f"\n[face-texel] on-body RGB MAD (smooth texture) = {rgb_mad:.4f}")
     assert rgb_mad < 0.03
     assert (outs["face"]["iuv_images"][..., 1:] == 0).all()  # emit_uv off
+
+
+@requires_tpu
+def test_binned_agreement_at_training_scale():
     """Quantified approximation at the real training configuration (B=72,
     256², 13774 faces, posed bodies): raw rasterizer agreement AND the
     label-level impact on the synthetic-data pipeline (joint-visibility
@@ -446,3 +453,47 @@ def test_fused_render_backface_culling():
     part0 = out[False]["iuv_images"][..., 0]
     part1 = out[True]["iuv_images"][..., 0]
     assert (part0 == part1).mean() > 0.5
+
+
+def test_bin_faces_large_image_key_packing_cpu():
+    """Regression: the single-int32 packed sort key must not overflow when
+    the strip count exceeds 127 (img_wh >= 384 at 8-row strips previously
+    wrapped negative, corrupting every window).  Brute-force per-strip
+    candidate sets must match the packed-sort windows at 384² and 512²."""
+    from humaniflow_tpu.render.binned_rasterizer import (
+        STRIP_COLS,
+        STRIP_ROWS,
+        _bin_faces,
+    )
+
+    rng = np.random.default_rng(7)
+    f = 256
+    for hw in (384, 512):
+        centers = rng.uniform(4, hw - 4, size=(f, 2))
+        offsets = rng.normal(scale=2.5, size=(f, 3, 2))
+        tri_xy = centers[:, None] + offsets
+        z = rng.uniform(1.0, 3.0, size=(f, 1))
+        tri = np.concatenate(
+            [tri_xy, np.broadcast_to(z[:, :, None], (f, 3, 1))], axis=-1
+        ).reshape(f, 9).astype(np.float32)
+
+        bounds, fids, coefs, ov = map(
+            np.asarray, _bin_faces(jnp.asarray(tri), f, hw, hw, k_max=256)
+        )
+        assert int(ov) == 0
+        n_col = hw // STRIP_COLS
+        n_row = hw // STRIP_ROWS
+        xs, ys = tri[:, 0::3], tri[:, 1::3]
+        r0 = np.floor(ys.min(1) / STRIP_ROWS).astype(int)
+        r1 = np.floor(ys.max(1) / STRIP_ROWS).astype(int)
+        c0 = np.floor(xs.min(1) / STRIP_COLS).astype(int)
+        c1 = np.floor(xs.max(1) / STRIP_COLS).astype(int)
+        for s in range(n_row * n_col):
+            r, c = divmod(s, n_col)
+            want = {
+                i for i in range(f)
+                if r0[i] <= r <= r1[i] and c0[i] <= c <= c1[i]
+            }
+            lo, hi = bounds[s]
+            got = set(fids[s, lo:hi].tolist())
+            assert got == want, f"strip {s} at {hw}²"
