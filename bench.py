@@ -352,20 +352,25 @@ def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
     # invocation in real use), so the first batch of a run is dominated by
     # host tracing + cache-hit compilation — and that overhead varies by
     # tens of seconds through the tunneled device, so subtracting two runs
-    # is noise.  Instead the pipeline records per-batch wall times (each
-    # batch ends in the tracker's host sync); steady state = median of the
-    # post-first batches of ONE run.
+    # is noise.  Instead the pipeline records per-batch wall times; with
+    # the tracker syncing every 8 batches most entries are queued-dispatch
+    # times, so steady state = (n−1 batches)/Σ times[1:] over ≥13 measured
+    # batches of ONE run (≥12-batch reproducibility rule, docs/DESIGN.md
+    # "Measurement methodology").
+    n_batches = 14
     times = []
     evaluate_humaniflow(
         model, params, smpl_n, smpl_m, smpl_f, cfg,
-        _SynthEvalDataset(5 * BATCH), list(metrics),
+        _SynthEvalDataset(n_batches * BATCH), list(metrics),
         batch_size=BATCH, num_pred_samples=n_samples, renderer=renderer,
         batch_times=times,
     )
-    per_batch = float(np.median(times[1:]))
+    steady = float(np.sum(times[1:]) / (len(times) - 1))
     return {
-        "images_per_sec": BATCH / per_batch,
-        "sec_per_batch": per_batch,
+        "images_per_sec": BATCH / steady,
+        "sec_per_batch": steady,
+        "sec_per_batch_median": round(float(np.median(times[1:])), 4),
+        "num_batches_measured": len(times) - 1,
         "first_batch_sec": round(times[0], 2),
         "num_pred_samples": n_samples,
         "metrics": f"{protocol} protocol (pipelines/protocols.py)",

@@ -227,7 +227,17 @@ def compute_batch_metrics(
 
 
 class EvalMetricsTracker:
-    """Host-side accumulator around the jitted per-batch metric kernel."""
+    """Host-side accumulator around the jitted per-batch metric kernel.
+
+    :param sync_every: device→host sync cadence in batches.  At 1 (default)
+        every ``update_per_batch`` ends in one ``jax.device_get`` — the
+        per-batch host sync the reference's numpy tracker implies.  At K>1
+        the per-batch sums are instead ADDED ON DEVICE (lazy, queued
+        dispatch) and per-frame arrays kept as device buffers; one fetch
+        per K batches pays the ~30 ms tunnel RTT K× less often, which is
+        what makes protocol throughput reproducible through the tunneled
+        device (docs/DESIGN.md "Measurement methodology").
+    """
 
     def __init__(
         self,
@@ -235,20 +245,48 @@ class EvalMetricsTracker:
         save_path: Optional[str] = None,
         save_per_frame_metrics: bool = False,
         num_samples_for_prob_metrics: Optional[int] = None,
+        sync_every: int = 1,
     ):
         self.metrics_to_track = tuple(metrics_to_track)
         self.save_path = save_path
         self.save_per_frame_metrics = save_per_frame_metrics
         self.num_samples_for_prob_metrics = num_samples_for_prob_metrics
+        self.sync_every = max(int(sync_every), 1)
         self.initialise_metric_sums()
         self.initialise_per_frame_metric_lists()
 
     def initialise_metric_sums(self):
         self.metric_sums: Dict[str, float] = {}
         self.num_total_test_data = 0
+        self._dev_sums = None  # device-side running sums between flushes
+        self._pending_pf = []  # device-side per-frame dicts between flushes
+        self._batches_since_flush = 0
 
     def initialise_per_frame_metric_lists(self):
         self.per_frame_metrics = {m: [] for m in self.metrics_to_track}
+
+    @property
+    def pending_batches(self) -> int:
+        """Batches accumulated on device since the last host sync."""
+        return self._batches_since_flush
+
+    def flush(self):
+        """ONE device→host round-trip for all pending sums + per-frame
+        values: with the device behind a network tunnel, per-item
+        float()/np.asarray syncs cost ~30 ms RTT each (~1.4 s/batch over
+        ~30 metrics)."""
+        if self._dev_sums is None and not self._pending_pf:
+            return
+        sums, pfs = jax.device_get((self._dev_sums, self._pending_pf))
+        if sums is not None:
+            for k, v in sums.items():
+                self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v)
+        for pf in pfs:
+            for k, v in pf.items():
+                self.per_frame_metrics[k].append(np.asarray(v))
+        self._dev_sums = None
+        self._pending_pf = []
+        self._batches_since_flush = 0
 
     def update_per_batch(
         self, pred_dict, target_dict, batch_size, model_input=None,
@@ -266,20 +304,25 @@ class EvalMetricsTracker:
             self.metrics_to_track, pred_dict, target_dict,
             input_j2d, input_vis, self.num_samples_for_prob_metrics,
         )
-        # ONE device→host round-trip for all sums + per-frame values: with
-        # the device behind a network tunnel, per-item float()/np.asarray
-        # syncs cost ~30 ms RTT each (~1.4 s/batch over ~30 metrics)
-        pf, sums = jax.device_get((pf, sums))
-        for k, v in sums.items():
-            self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v)
-        for k, v in pf.items():
-            self.per_frame_metrics[k].append(np.asarray(v))
+        if self._dev_sums is None:
+            self._dev_sums = sums
+        else:
+            self._dev_sums = jax.tree_util.tree_map(
+                jnp.add, self._dev_sums, sums
+            )
+        self._pending_pf.append(pf)
+        self._batches_since_flush += 1
         if return_per_frame_metrics:
-            return {k: np.asarray(v) for k, v in pf.items()}
+            pf_host = jax.device_get(pf)
+            self.flush()
+            return {k: np.asarray(v) for k, v in pf_host.items()}
+        if self._batches_since_flush >= self.sync_every:
+            self.flush()
         return None
 
     def compute_final_metrics(self, num_verts: int = 6890) -> Dict[str, float]:
         """Final reductions + mm conversion prints (reference :437-496)."""
+        self.flush()
         final = {}
         n = self.num_total_test_data
         ns = self.num_samples_for_prob_metrics

@@ -216,6 +216,52 @@ def _render_sample_silhouettes(renderer, verts_samples, cam_wp, chunk=8):
     return jnp.concatenate(sils, axis=1), overflow
 
 
+def _assemble_host_batch(batch):
+    """Host-only batch assembly (numpy, no jax calls — safe on a worker
+    thread): gender mask + fname split-off.  Device transfer stays on the
+    main thread (see `prepare` note in evaluate_humaniflow)."""
+    b = batch["image"].shape[0]
+    genders = batch.pop("gender", ["n"] * b)
+    fnames = batch.pop("fname", [""] * b)
+    batch["is_female"] = np.array(
+        [1.0 if g.startswith("f") else 0.0 for g in genders], np.float32
+    )
+    return {"b": b, "fnames": fnames, "batch": batch}
+
+
+def _prefetched(iterator, depth: int = 2):
+    """Run `iterator` on a daemon worker thread with a bounded queue.
+
+    Host batch assembly (dataset __getitem__: file IO, JPEG decode, crops,
+    numpy stacking) overlaps the main thread's tunnel-blocked waits
+    (device_get RTTs release the GIL) instead of serialising with them.
+    Only HOST work goes through here — jax dispatch/device_put stays on
+    the main thread (concurrent device_put breaks the tunnel's amortized
+    queued dispatch: measured 6.1 → 16.8 s/batch, docs/DESIGN.md)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+        q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def evaluate_humaniflow(
     model: HumaniflowModel,
     params,
@@ -234,6 +280,8 @@ def evaluate_humaniflow(
     mesh=None,
     silhouette_sample_chunk: int = 8,
     batch_times: Optional[list] = None,
+    sync_every: int = 8,
+    prefetch: bool = True,
 ):
     """Full eval loop (reference: evaluate_humaniflow.py:18-286).
 
@@ -241,11 +289,16 @@ def evaluate_humaniflow(
         device count and sharded over the `data` axis (the reference has no
         multi-device evaluation; SURVEY.md §2.7).
     :param batch_times: optional list — per-batch wall seconds are
-        appended (each batch ends in the tracker's host sync, so these are
-        true batch latencies; the first includes tracing/compilation).
-        Benchmarks use the post-first median: single-call overheads vary
-        by tens of seconds on a tunneled device, so marginal-time-between-
-        two-calls estimates are noise.
+        appended (the first includes tracing/compilation).  With
+        sync_every>1 most batches end in a queued dispatch, not a host
+        sync, so individual entries are NOT device latencies — steady-state
+        throughput is (num batches − 1) / sum(times[1:]) (docs/DESIGN.md
+        "Measurement methodology").
+    :param sync_every: tracker device→host sync cadence in batches (the
+        ~30 ms tunnel RTT is paid once per K batches; silhouette-overflow
+        checks follow the same cadence).  1 restores per-batch syncs.
+    :param prefetch: assemble batch i+1 on a worker thread while the
+        device runs batch i (host work only; device_put stays inline).
     """
     from ..data.datasets import batch_iterator
 
@@ -262,31 +315,29 @@ def evaluate_humaniflow(
         metrics, save_path=save_path,
         save_per_frame_metrics=save_per_frame_metrics,
         num_samples_for_prob_metrics=num_pred_samples if compute_samples else None,
+        sync_every=sync_every,
     )
     if key is None:
         key = jax.random.PRNGKey(0)
 
     fname_list, pose_list, shape_list, cam_list = [], [], [], []
-    # fetched per batch alongside the tracker's own host sync (one extra
-    # scalar on an already-paid RTT) so the operator learns about binning
-    # overflow on the batch it happens, not after the whole run
+    # accumulated on device and fetched on the tracker's sync cadence (one
+    # extra scalar on an already-paid RTT) so the operator learns about
+    # binning overflow within sync_every batches of it happening
     sil_overflow_total = 0
     sil_overflow_warned = False
+    sil_overflow_pending = None  # device-side scalar between flushes
 
-    def prepare(batch):
-        """Host-side batch assembly + device transfer.
+    def prepare(assembled):
+        """Device transfer for one host-assembled batch.
 
-        NOTE: running this on a worker thread (queue-depth-2 prefetch, to
-        overlap the ~1.6 s of host work with device compute) measured
-        6.1 → 16.8 s/batch on the tunneled TPU: concurrent device_put
+        NOTE: device transfer must stay on the MAIN thread: running
+        device_put on a worker (queue-depth-2 prefetch) measured
+        6.1 → 16.8 s/batch on the tunneled TPU — concurrent device_put
         breaks the amortized queued-dispatch path the tunnel depends on
-        (CLAUDE.md host-boundary rule).  Keep preparation inline."""
-        b = batch["image"].shape[0]
-        genders = batch.pop("gender", ["n"] * b)
-        fnames = batch.pop("fname", [""] * b)
-        batch["is_female"] = np.array(
-            [1.0 if g.startswith("f") else 0.0 for g in genders], np.float32
-        )
+        (CLAUDE.md host-boundary rule).  Only host assembly is threaded
+        (`_prefetched`)."""
+        batch = assembled["batch"]
         dev_keys = ("image", "pose", "shape", "is_female")
         # prefer device-side heatmap synthesis from keypoints (tiny host →
         # device payload); fall back to pre-built heatmaps
@@ -305,20 +356,26 @@ def evaluate_humaniflow(
             dev_batch = shard_batch(dev_batch, mesh)
         put = lambda v: None if v is None else jax.device_put(np.asarray(v))
         return {
-            "b": b,
-            "fnames": fnames,
+            "b": assembled["b"],
+            "fnames": assembled["fnames"],
             "dev_batch": dev_batch,
             "joints2D": put(batch.get("joints2D")),
             "joints2D_visib": put(batch.get("joints2D_visib")),
             "silhouette": put(batch.get("silhouette")),
         }
 
-    for batch in batch_iterator(eval_dataset, batch_size):
+    assembled_batches = (
+        _assemble_host_batch(b) for b in batch_iterator(eval_dataset, batch_size)
+    )
+    if prefetch:
+        assembled_batches = _prefetched(assembled_batches)
+
+    for assembled in assembled_batches:
         if batch_times is not None:
             import time as _time
 
             _t0 = _time.perf_counter()
-        prepared = prepare(batch)
+        prepared = prepare(assembled)
         b = prepared["b"]
         fnames = prepared["fnames"]
         dev_batch = prepared["dev_batch"]
@@ -354,19 +411,28 @@ def evaluate_humaniflow(
                     chunk=silhouette_sample_chunk,
                 )
                 sil_overflow_batch = sil_overflow_batch + ov_s
-            ov_batch = int(np.asarray(sil_overflow_batch))
-            sil_overflow_total += ov_batch
-            if ov_batch > 0 and not sil_overflow_warned:
-                sil_overflow_warned = True
-                print(
-                    f"WARNING: silhouette binning overflowed {ov_batch} "
-                    "(face, strip) pairs in this batch — IOU metrics will "
-                    "deviate from the exact scan; abort and re-run with "
-                    "--exact_silhouettes "
-                    "(TexturedIUVRenderer(silhouette_exact=True))."
-                )
+            # accumulate on device; fetched below on the tracker's cadence
+            sil_overflow_pending = (
+                sil_overflow_batch
+                if sil_overflow_pending is None
+                else sil_overflow_pending + sil_overflow_batch
+            )
 
         tracker.update_per_batch(pred, target, b, model_input=proxy)
+        if tracker.pending_batches == 0 and sil_overflow_pending is not None:
+            # the tracker just paid a host sync — piggyback the overflow check
+            ov = int(np.asarray(sil_overflow_pending))
+            sil_overflow_pending = None
+            sil_overflow_total += ov
+            if ov > 0 and not sil_overflow_warned:
+                sil_overflow_warned = True
+                print(
+                    f"WARNING: silhouette binning overflowed {ov} "
+                    "(face, strip) pairs in recent batches — IOU metrics "
+                    "will deviate from the exact scan; abort and re-run "
+                    "with --exact_silhouettes "
+                    "(TexturedIUVRenderer(silhouette_exact=True))."
+                )
         if batch_times is not None:
             batch_times.append(_time.perf_counter() - _t0)
 
@@ -376,6 +442,8 @@ def evaluate_humaniflow(
             shape_list.append(np.asarray(extra["shape_mode"]))
             cam_list.append(np.asarray(extra["cam_wp"]))
 
+    if sil_overflow_pending is not None:
+        sil_overflow_total += int(np.asarray(sil_overflow_pending))
     if compute_silhouettes and renderer is not None and sil_overflow_total > 0:
         print(
             f"WARNING: silhouette binning overflowed {sil_overflow_total} "

@@ -165,6 +165,36 @@ def test_evaluate_shipped_ssp3d_protocol(tmp_path):
     assert pf.shape == (2,)
 
 
+def test_evaluate_deferred_sync_and_prefetch_match_per_batch_sync(setup, tmp_path):
+    """sync_every=3 (device-side sum accumulation, one host sync per 3
+    batches) + threaded host batch assembly match the per-batch-sync,
+    inline-assembly path — including a flush of a partial (non-multiple)
+    tail.  Per-frame dumps are bit-identical; final metrics differ only by
+    summation order (f32 on-device adds vs f64 host adds), bounded at 1e-6."""
+    cfg, model, params, smpl_n, smpl_m, smpl_f = setup
+    metrics = ["PVE", "PVE-PA", "MPJPE", "joints2D-L2E", "PVE_samples_min"]
+    kwargs = dict(batch_size=2, num_pred_samples=3, save_per_frame_metrics=True)
+
+    base_times, deferred_times = [], []
+    base = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg, _FakeEvalDataset(n=8),
+        metrics, sync_every=1, prefetch=False, batch_times=base_times,
+        save_path=str(tmp_path / "base"), **kwargs,
+    )
+    deferred = evaluate_humaniflow(
+        model, params, smpl_n, smpl_m, smpl_f, cfg, _FakeEvalDataset(n=8),
+        metrics, sync_every=3, prefetch=True, batch_times=deferred_times,
+        save_path=str(tmp_path / "deferred"), **kwargs,
+    )
+    assert len(base_times) == len(deferred_times) == 4
+    for m in metrics:
+        np.testing.assert_allclose(base[m], deferred[m], rtol=1e-6)
+        pf_b = np.load(os.path.join(tmp_path, "base", m + "_per_frame.npy"))
+        pf_d = np.load(os.path.join(tmp_path, "deferred", m + "_per_frame.npy"))
+        np.testing.assert_array_equal(pf_b, pf_d)
+        assert pf_b.shape == (8,)
+
+
 def test_evaluate_data_parallel_matches_single(setup):
     """Sharded eval over the 8-device mesh (with batch padding) produces the
     same final metrics as the single-device run."""
