@@ -195,6 +195,83 @@ def test_evaluate_deferred_sync_and_prefetch_match_per_batch_sync(setup, tmp_pat
         assert pf_b.shape == (8,)
 
 
+def _build_pw3d_dir(root, n=4, orig=64):
+    """Fabricated on-disk 3DPW layout with BOTH the standard and the
+    extreme-crop (scale 0.5) variants (reference data/pw3d_eval_dataset.py:
+    20-37).  The extreme variant's frames/keypoints/GT differ from the
+    standard ones so consumption differences are observable."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    for sub, shift in (("cropped_frames", 0), ("extreme_cropped_0.5_frames", 90)):
+        d = os.path.join(root, sub)
+        os.makedirs(d)
+        for i in range(n):
+            img = rng.integers(0, 255, size=(orig, orig, 3)) + shift
+            cv2.imwrite(os.path.join(d, f"f{i}.png"), np.clip(img, 0, 255).astype(np.uint8))
+    kp = rng.uniform(4, orig - 4, size=(n, 17, 3)).astype(np.float32)
+    kp[:, :, 2] = 0.9
+    np.save(os.path.join(root, "hrnet_results_centred.npy"), kp)
+    kp_ec = kp.copy()
+    kp_ec[:, :, :2] = rng.uniform(4, orig - 4, size=(n, 17, 2))
+    np.save(os.path.join(root, "extreme_cropped_0.5_hrnet_results_centred.npy"), kp_ec)
+    j2d = rng.uniform(4, orig - 4, size=(n, 17, 3)).astype(np.float32)
+    j2d[:, :, 2] = 0.9
+    np.savez(
+        os.path.join(root, "3dpw_test.npz"),
+        imgname=np.array([f"f{i}.png" for i in range(n)]),
+        pose=(rng.normal(scale=0.3, size=(n, 72))).astype(np.float32),
+        shape=(rng.normal(scale=0.5, size=(n, 10))).astype(np.float32),
+        gender=np.array(["m", "f"] * (n // 2)),
+        joints2D_coco=j2d,
+    )
+    j2d_ec = j2d.copy()
+    j2d_ec[:, :, :2] = rng.uniform(4, orig - 4, size=(n, 17, 2))
+    np.save(os.path.join(root, "extreme_cropped_0.5_joints2D.npy"), j2d_ec)
+    return kp, kp_ec
+
+
+def test_evaluate_consumes_extreme_crop_variant(setup, tmp_path):
+    """The `--extreme_crop_scale` eval path (reference
+    data/pw3d_eval_dataset.py:20-25, run via scripts/run_evaluate.py) runs
+    end-to-end: the extreme-crop dataset variant feeds the eval step, the
+    3DPW metric protocol comes out finite, and the crop actually changed
+    the proxy (different keypoints -> different metric values)."""
+    pytest.importorskip("cv2")
+    from humaniflow_tpu.data.datasets import PW3DEvalDataset
+
+    cfg, model, params, smpl_n, smpl_m, smpl_f = setup
+    root = str(tmp_path / "pw3d")
+    os.makedirs(root)
+    kp, kp_ec = _build_pw3d_dir(root)
+    assert not np.allclose(kp[:, :, :2], kp_ec[:, :, :2])
+
+    metrics = ["PVE", "MPJPE-PA", "joints2D-L2E", "joints2Dsamples-L2E",
+               "PVE_samples_min"]
+    finals = {}
+    for name, ec in (("standard", None), ("extreme", 0.5)):
+        ds = PW3DEvalDataset(
+            root, cfg, extreme_crop_scale=ec, visible_joints_threshold=0.6
+        )
+        item = ds[0]
+        assert item["image"].shape == (IMG, IMG, 3)
+        finals[name] = evaluate_humaniflow(
+            model, params, smpl_n, smpl_m, smpl_f, cfg, ds, metrics,
+            batch_size=2, num_pred_samples=3,
+            save_path=str(tmp_path / name), save_per_frame_metrics=True,
+        )
+        for m in metrics:
+            assert np.isfinite(finals[name][m]), (name, m)
+    # different input keypoints (the proxy) and GT joints -> the protocols
+    # measurably diverge; identical values would mean the variant files
+    # were silently ignored
+    assert finals["standard"]["joints2D-L2E"] != finals["extreme"]["joints2D-L2E"]
+    # same GT pose/shape but a different proxy -> different predictions
+    assert finals["standard"]["PVE"] != finals["extreme"]["PVE"]
+    pf = np.load(os.path.join(tmp_path, "extreme", "joints2D-L2E_per_frame.npy"))
+    assert pf.shape == (4,)
+
+
 def test_evaluate_data_parallel_matches_single(setup):
     """Sharded eval over the 8-device mesh (with batch padding) produces the
     same final metrics as the single-device run."""
