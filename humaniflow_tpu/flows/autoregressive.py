@@ -213,16 +213,21 @@ class FlowBatchNorm:
         return x, jnp.broadcast_to(ld, y.shape[:-1])
 
     def update_stats(self, params, y):
-        """EMA update of the running statistics from a training batch of
-        density-direction inputs (pyro BatchNorm training semantics:
-        moving ← (1-m)·moving + m·batch).  `y` may carry extra leading batch
-        axes beyond the stat shape (e.g. a stacked body-part axis kept)."""
+        """Training-mode inverse (pyro BatchNorm `_inverse` with
+        self.training=True): EMA-update the running statistics from the
+        batch of density-direction inputs AND normalise `y` with the BATCH
+        statistics (unbiased variance — torch `Tensor.var(0)` default), so
+        downstream transforms see the same values pyro feeds them.  `y`
+        may carry extra leading batch axes beyond the stat shape (e.g. a
+        stacked body-part axis kept).  Returns (new_params, x)."""
         extra = y.ndim - params["moving_mean"].ndim
         axes = tuple(range(extra))
         mean = jnp.mean(y, axis=axes)
-        var = jnp.var(y, axis=axes)
+        var = jnp.var(y, axis=axes, ddof=1)
         m = self.momentum
         new = dict(params)
         new["moving_mean"] = (1.0 - m) * params["moving_mean"] + m * mean
         new["moving_var"] = (1.0 - m) * params["moving_var"] + m * var
-        return new
+        std = jnp.sqrt(var + self.epsilon)
+        x = (y - mean) / std * jnp.exp(params["log_gamma"]) + params["beta"]
+        return new, x

@@ -106,8 +106,11 @@ class ConditionalFlow:
             t = self.transforms[i]
             p = params[f"transform_{i}"]
             if isinstance(t, FlowBatchNorm):
-                new_params[f"transform_{i}"] = t.update_stats(p, x)
-            x, _ = t.inverse(p, x, context)
+                # pyro training-mode _inverse: EMA-update the stats AND
+                # continue the chain with the batch-normalised values
+                new_params[f"transform_{i}"], x = t.update_stats(p, x)
+            else:
+                x, _ = t.inverse(p, x, context)
         return new_params
 
     def mode_estimate(self, params, context):

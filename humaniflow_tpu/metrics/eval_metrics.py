@@ -288,6 +288,15 @@ class EvalMetricsTracker:
         self._pending_pf = []
         self._batches_since_flush = 0
 
+    def block_pending(self):
+        """Wait for all device-side pending work (sums + per-frame values)
+        WITHOUT fetching.  Benchmarking hook: with sync_every>1 the last
+        partial window's compute would otherwise drain outside the timed
+        loop (inside compute_final_metrics), inflating measured throughput
+        by up to sync_every−1 batches of device time."""
+        if self._dev_sums is not None or self._pending_pf:
+            jax.block_until_ready((self._dev_sums, self._pending_pf))
+
     def update_per_batch(
         self, pred_dict, target_dict, batch_size, model_input=None,
         return_per_frame_metrics=False,

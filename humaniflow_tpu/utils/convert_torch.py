@@ -143,37 +143,87 @@ def convert_humaniflow_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
             kernel[part, isgc : isgc + 9 * num_anc] = w[isgc : isgc + 9 * num_anc]
     params["fc_flow_context"] = {"kernel": kernel, "bias": bias}
 
-    # --- stacked per-part spline-coupling hypernets
-    # reference module list: 2 ConditionalSplineCoupling modules per part
-    # (pyro_conditional_norm_flow.py:115 keeps only nn.Module transforms);
-    # in our flow spec they are transform_1 and transform_3 (permutes at 0/2,
-    # radial tanh at 4 are parameterless).
-    num_couplings = sum(
-        1 for i, t in enumerate(model.flow.transforms) if hasattr(t, "param_dims")
+    # --- stacked per-part flow transform modules (couplings + optional
+    # BatchNorm layers; permutes / radial tanh are parameterless)
+    params["flows"] = convert_flow_transforms(
+        sd, model.flow, prefix="pose_so3flow_transform_modules.",
+        num_parts=nparts,
     )
-    coupling_slots = [
-        i for i, t in enumerate(model.flow.transforms) if hasattr(t, "param_dims")
+    return params
+
+
+def convert_flow_transforms(
+    sd: Dict[str, np.ndarray], flow, prefix: str = "", num_parts=None
+) -> Dict:
+    """Reference flow transform-module-list state dict → ConditionalFlow
+    params pytree.
+
+    The reference keeps only nn.Module transforms in its registered list
+    (pyro_conditional_norm_flow.py:116): coupling hypernets
+    (`{mod}.nn.layers.{l}.weight/bias`) and — with batch_norm=on
+    (pyro_conditional_norm_flow.py:77-78) — pyro BatchNorm modules
+    (`{mod}.gamma/.beta/.moving_mean/.moving_variance`).  pyro's
+    positivity constraint γ̂ = relu(γ)+1e-6 is folded into our exp
+    parameterisation as log_gamma = log(γ̂) (flows/autoregressive.py:181).
+
+    :param num_parts: if given, stack along a leading part axis with the
+        reference model's flat indexing mod = part*modules_per_part + mi
+        (humaniflow_model.py registers all parts in one ModuleList);
+        otherwise convert a single flow's module list (mod = mi).
+    """
+    from ..flows.autoregressive import FlowBatchNorm
+
+    module_slots = [
+        (i, t)
+        for i, t in enumerate(flow.transforms)
+        if hasattr(t, "param_dims") or isinstance(t, FlowBatchNorm)
     ]
-    flows: Dict = {f"transform_{i}": {} for i in range(len(model.flow.transforms))}
-    for ci, slot in enumerate(coupling_slots):
+    per_part = len(module_slots)
+    parts = range(num_parts) if num_parts is not None else (None,)
+
+    def stack(vals):
+        # np.array (not asarray): torch `state_dict()` tensors SHARE storage
+        # with the live module, and `.numpy()` / `jnp.asarray` on CPU can
+        # alias that memory — a later in-place buffer update (e.g. BN EMA)
+        # would silently mutate the converted params
+        return np.stack(vals) if num_parts is not None else np.array(vals[0])
+
+    flows: Dict = {f"transform_{i}": {} for i in range(len(flow.transforms))}
+    for mi, (slot, t) in enumerate(module_slots):
+        def key(part, field):
+            mod = mi if part is None else part * per_part + mi
+            return f"{prefix}{mod}.{field}"
+
+        if isinstance(t, FlowBatchNorm):
+            gammas = [
+                np.maximum(np.asarray(sd[key(p, "gamma")]), 0.0) + 1e-6
+                for p in parts
+            ]
+            flows[f"transform_{slot}"] = {
+                "log_gamma": stack([np.log(g).astype(np.float32) for g in gammas]),
+                "beta": stack([np.asarray(sd[key(p, "beta")]) for p in parts]),
+                "moving_mean": stack(
+                    [np.asarray(sd[key(p, "moving_mean")]) for p in parts]
+                ),
+                "moving_var": stack(
+                    [np.asarray(sd[key(p, "moving_variance")]) for p in parts]
+                ),
+            }
+            continue
         layers: Dict = {}
         layer_idx = 0
-        while f"pose_so3flow_transform_modules.{ci}.nn.layers.{layer_idx}.weight" in sd:
-            ks, bs = [], []
-            for part in range(nparts):
-                mod = part * num_couplings + ci
-                ks.append(_t(sd[f"pose_so3flow_transform_modules.{mod}.nn.layers.{layer_idx}.weight"]))
-                bs.append(np.asarray(sd[f"pose_so3flow_transform_modules.{mod}.nn.layers.{layer_idx}.bias"]))
+        while key(parts[0], f"nn.layers.{layer_idx}.weight") in sd:
             layers[f"layer_{layer_idx}"] = {
-                "kernel": np.stack(ks), "bias": np.stack(bs)
+                "kernel": stack(
+                    [_t(sd[key(p, f"nn.layers.{layer_idx}.weight")]) for p in parts]
+                ),
+                "bias": stack(
+                    [np.asarray(sd[key(p, f"nn.layers.{layer_idx}.bias")]) for p in parts]
+                ),
             }
             layer_idx += 1
         flows[f"transform_{slot}"] = {"hypernet": layers}
-    for i, t in enumerate(model.flow.transforms):
-        if not hasattr(t, "param_dims"):
-            flows[f"transform_{i}"] = {}
-    params["flows"] = flows
-    return params
+    return flows
 
 
 def convert_humaniflow_file(path: str, model) -> Dict:

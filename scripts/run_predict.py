@@ -89,10 +89,14 @@ def main():
     hrnet = PoseHighResolutionNet(
         dtype=jnp.bfloat16 if args.hrnet_dtype == "bf16" else None
     )
-    if args.hrnet_checkpoint:
+    if args.hrnet_checkpoint and args.hrnet_checkpoint.endswith(".pth"):
         from humaniflow_tpu.utils.convert_torch import convert_hrnet_file
 
         hrnet_params = convert_hrnet_file(args.hrnet_checkpoint)
+    elif args.hrnet_checkpoint:
+        # orbax dir written by scripts/convert_model_files.py --hrnet_pth
+        hrnet_params = load_checkpoint(args.hrnet_checkpoint)
+        hrnet_params = hrnet_params.get("params", hrnet_params)
     else:
         print("WARNING: no HRNet checkpoint — using random init")
         import jax.numpy as jnp

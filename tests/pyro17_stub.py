@@ -22,9 +22,9 @@ Faithfulness sources:
 
 What this CANNOT prove: bit-level fidelity of pyro's internal classes
 themselves — that stays pinned by the numpy oracle (tests/test_pyro_oracle).
-Only the surface the reference's production config touches is implemented
-(spline_coupling + permute + radial-tanh); pyro's BatchNorm and the
-affine/masked transform helpers raise if reached.
+Only the surface the reference's config system can reach is implemented
+(spline_coupling + permute + radial-tanh + BatchNorm); the affine/masked
+transform helpers raise if reached.
 """
 
 import sys
@@ -199,6 +199,59 @@ class Permute(Transform):
 
     def with_cache(self, cache_size=1):
         return self
+
+
+class BatchNorm(TransformModule):
+    """pyro.distributions.transforms.BatchNorm (pyro 1.7,
+    pyro/distributions/transforms/batch_norm.py): flow batch-norm à la
+    Dinh et al.  Elementwise (event_dim 0); _call is the base→data
+    direction (DE-normalise with moving stats), _inverse is the usual
+    normalisation and — in training mode — EMA-updates the moving stats
+    from the batch (torch `Tensor.var` default: UNBIASED).  The log-det
+    reported is log|dy/dx| = −log(γ̂/√(var+ε)) per element."""
+
+    domain = constraints.real
+    codomain = constraints.real
+    bijective = True
+    event_dim = 0
+
+    def __init__(self, input_dim, momentum=0.1, epsilon=1e-5):
+        super().__init__(cache_size=1)
+        self.input_dim = input_dim
+        self.momentum = momentum
+        self.epsilon = epsilon
+        self.gamma = torch.nn.Parameter(torch.ones(input_dim))
+        self.beta = torch.nn.Parameter(torch.zeros(input_dim))
+        self.register_buffer("moving_mean", torch.zeros(input_dim))
+        self.register_buffer("moving_variance", torch.ones(input_dim))
+
+    @property
+    def constrained_gamma(self):
+        return F.relu(self.gamma) + 1e-6
+
+    def _call(self, x):
+        return (x - self.beta) / self.constrained_gamma * torch.sqrt(
+            self.moving_variance + self.epsilon
+        ) + self.moving_mean
+
+    def _inverse(self, y):
+        if self.training:
+            mean, var = y.mean(0), y.var(0)
+            with torch.no_grad():
+                self.moving_mean.mul_(1 - self.momentum).add_(mean * self.momentum)
+                self.moving_variance.mul_(1 - self.momentum).add_(var * self.momentum)
+        else:
+            mean, var = self.moving_mean, self.moving_variance
+        return (y - mean) * self.constrained_gamma / torch.sqrt(
+            var + self.epsilon
+        ) + self.beta
+
+    def log_abs_det_jacobian(self, x, y):
+        if self.training:
+            var = torch.var(y, dim=0, keepdim=True)
+        else:
+            var = self.moving_variance
+        return -torch.log(self.constrained_gamma / torch.sqrt(var + self.epsilon))
 
 
 def _searchsorted(sorted_sequence, input_values):
@@ -446,7 +499,7 @@ def install():
 
     trans_mod = types.ModuleType("pyro.distributions.transforms")
     trans_mod.Permute = Permute
-    trans_mod.BatchNorm = _not_stubbed("BatchNorm")
+    trans_mod.BatchNorm = BatchNorm
     trans_mod.conditional_affine_coupling = _not_stubbed(
         "conditional_affine_coupling"
     )

@@ -76,14 +76,21 @@ def test_flow_batch_norm_stats_update():
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.normal(loc=2.0, scale=3.0, size=(512, 3)), jnp.float32)
     for _ in range(20):
-        params = t.update_stats(params, data)
+        params, normed = t.update_stats(params, data)
     np.testing.assert_allclose(np.asarray(params["moving_mean"]), data.mean(0), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(params["moving_var"]), data.var(0), atol=1e-4)
+    # pyro updates with torch's UNBIASED batch variance (y.var(0))
+    np.testing.assert_allclose(
+        np.asarray(params["moving_var"]),
+        np.var(np.asarray(data), axis=0, ddof=1), atol=1e-4,
+    )
+    # the returned chain value is the batch-normalised input (+β scaled γ)
+    assert normed.shape == data.shape
+    np.testing.assert_allclose(np.asarray(normed.mean(0)), 0.0, atol=1e-5)
 
     # stacked (P, D) stats with (B, P, D) inputs reduce over batch only
     stacked = {k: jnp.stack([v, v]) for k, v in t.init(jax.random.PRNGKey(1)).items()}
     y = jnp.asarray(rng.normal(size=(64, 2, 3)), jnp.float32)
-    out = t.update_stats(stacked, y)
+    out, _ = t.update_stats(stacked, y)
     assert out["moving_mean"].shape == (2, 3)
     np.testing.assert_allclose(
         np.asarray(out["moving_mean"]), 0.5 * np.asarray(y.mean(0)), atol=1e-6

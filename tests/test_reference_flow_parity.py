@@ -398,6 +398,122 @@ def test_reference_loss_execution_parity(ref_and_jax_models):
     np.testing.assert_allclose(float(got), want, rtol=2e-4)
 
 
+def test_batchnorm_flow_variant_parity():
+    """EXEC parity for the NORM_FLOW.BATCH_NORM=on flow variant — the one
+    config-reachable flow path without execution-level evidence through r3.
+
+    The REFERENCE'S OWN factory with batch_norm=True
+    (pyro_conditional_norm_flow.py:77-78: a pyro `trans.BatchNorm` between
+    each permute and coupling) runs under the stub; its real module-list
+    `state_dict()` (incl. γ/β and non-trivial moving stats) goes through
+    `convert_flow_transforms`, then:
+      * forward (base→data) equality,
+      * eval-mode log_prob equality (inverse chain + log-dets through BN),
+      * training-mode EMA-stat update parity: pyro's `_inverse` updates
+        moving_mean/moving_variance with the UNBIASED batch stats and
+        feeds batch-normalised values downstream — our
+        `update_batchnorm_stats` must land on identical buffers for BOTH
+        BN layers (the deep one only matches if the chain values match).
+    """
+    from models.norm_flows.pyro_conditional_norm_flow import (
+        create_conditional_norm_flow as ref_create,
+        forward_trans_conditional_norm_flow,
+    )
+
+    from humaniflow_tpu.flows import (
+        FlowBatchNorm,
+        create_conditional_norm_flow,
+    )
+    from humaniflow_tpu.utils.convert_torch import convert_flow_transforms
+
+    ctx_dim, radius, std = 6, 1.5 * math.pi, 0.84
+    torch.manual_seed(3)
+    dist, modules, ref_transforms = ref_create(
+        device="cpu", event_dim=3, context_dim=ctx_dim, num_transforms=2,
+        transform_type="spline_coupling", transform_hidden_dims=[32, 16],
+        permute_type="permute", batch_norm=True,
+        radial_tanh_radius=radius, base_dist_std=std,
+    )
+    # non-trivial BN parameters and running stats
+    g = torch.Generator()
+    g.manual_seed(4)
+    with torch.no_grad():
+        for name, p in modules.named_parameters():
+            if name.endswith(("gamma", "beta")):
+                p.add_(torch.randn(p.shape, generator=g) * 0.3)
+        for name, buf in modules.named_buffers():
+            if name.endswith("moving_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.4)
+            elif name.endswith("moving_variance"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+    modules.eval()
+
+    flow = create_conditional_norm_flow(
+        event_dim=3, context_dim=ctx_dim, num_transforms=2,
+        transform_type="spline_coupling", transform_hidden_dims=(32, 16),
+        permute_type="permute", batch_norm=True,
+        radial_tanh_radius=radius, base_dist_std=std,
+    )
+    assert flow.has_batch_norm
+    sd = {k: v.detach().numpy() for k, v in modules.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_flow_transforms(sd, flow)
+    )
+
+    rng = np.random.default_rng(9)
+    n = 16
+    base = rng.normal(scale=0.6, size=(n, 3)).astype(np.float32)
+    ctx = rng.normal(size=(n, ctx_dim)).astype(np.float32)
+
+    # ---- forward (base→data): BN runs its de-normalising _call direction
+    with torch.no_grad():
+        want_y = forward_trans_conditional_norm_flow(
+            transforms=ref_transforms,
+            base_sample=torch.tensor(base),
+            context=torch.tensor(ctx),
+        ).numpy()
+    got_y = np.asarray(flow.forward(params, jnp.asarray(base), jnp.asarray(ctx)))
+    assert _rel_err(got_y, want_y) < 5e-5
+
+    # ---- eval-mode log_prob: inverse chain + BN log-dets (moving stats)
+    with torch.no_grad():
+        want_lp = (
+            dist.condition(torch.tensor(ctx))
+            .log_prob(torch.tensor(want_y))
+            .numpy()
+        )
+    got_lp = np.asarray(flow.log_prob(params, jnp.asarray(want_y), jnp.asarray(ctx)))
+    np.testing.assert_allclose(got_lp, want_lp, rtol=2e-4, atol=2e-4)
+
+    # ---- training-mode EMA-stat update parity
+    modules.train()
+    with torch.no_grad():
+        dist.condition(torch.tensor(ctx)).log_prob(torch.tensor(want_y))
+    new_params = flow.update_batchnorm_stats(
+        params, jnp.asarray(want_y), jnp.asarray(ctx)
+    )
+    bn_slots = [
+        i for i, t in enumerate(flow.transforms) if isinstance(t, FlowBatchNorm)
+    ]
+    bn_modules = [m for m in modules if type(m).__name__ == "BatchNorm"]
+    assert len(bn_slots) == len(bn_modules) == 2
+    for slot, mod in zip(bn_slots, bn_modules):
+        p = new_params[f"transform_{slot}"]
+        np.testing.assert_allclose(
+            np.asarray(p["moving_mean"]), mod.moving_mean.numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"transform_{slot} mean",
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["moving_var"]), mod.moving_variance.numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"transform_{slot} var",
+        )
+        # stats actually moved
+        assert not np.allclose(
+            np.asarray(p["moving_mean"]),
+            np.asarray(params[f"transform_{slot}"]["moving_mean"]),
+        )
+
+
 def test_stub_spline_matches_numpy_oracle():
     """The torch stub's spline (what the reference code runs on) agrees with
     the f64 numpy oracle that pins our JAX spline — closing the triangle
