@@ -226,6 +226,28 @@ def compute_batch_metrics(
     return pf, sums
 
 
+@partial(
+    jax.jit,
+    static_argnames=("metrics", "num_samples", "sum_keys", "pf_keys"),
+)
+def _compute_batch_metrics_packed(
+    metrics, pred, target, input_joints2d, input_joints2d_vis, num_samples,
+    sum_keys, pf_keys, prev_sums,
+):
+    """compute_batch_metrics + packing + running-sum accumulation as ONE
+    jitted program: the tracker's steady-state per-batch device work is a
+    single launch (separate eager stack/add ops each pay a device-server
+    launch through the tunnel — ~3 launches/batch measured as the residual
+    spread in the staged protocol benchmark)."""
+    pf, sums = compute_batch_metrics.__wrapped__(
+        metrics, pred, target, input_joints2d, input_joints2d_vis, num_samples
+    )
+    svec = jnp.stack([sums[k] for k in sum_keys]).astype(jnp.float32)
+    svec = svec + prev_sums
+    pfmat = jnp.stack([pf[k] for k in pf_keys]) if pf_keys else None
+    return pfmat, svec
+
+
 class EvalMetricsTracker:
     """Host-side accumulator around the jitted per-batch metric kernel.
 
@@ -258,8 +280,16 @@ class EvalMetricsTracker:
     def initialise_metric_sums(self):
         self.metric_sums: Dict[str, float] = {}
         self.num_total_test_data = 0
-        self._dev_sums = None  # device-side running sums between flushes
-        self._pending_pf = []  # device-side per-frame dicts between flushes
+        # PACKED device-side state between flushes: one (M_sums,) f32
+        # vector of running sums and one (M_pf, B) array per batch.  The
+        # packing is load-bearing: a device_get of ~200 separate small
+        # arrays through the tunneled TPU measured 5-500 s (per-leaf
+        # transfer setup), vs ~25 ms for the same data in 2 packed arrays
+        # (docs/DESIGN.md "Measurement methodology").
+        self._sum_keys = None
+        self._pf_keys = None
+        self._dev_sums = None
+        self._pending_pf = []
         self._batches_since_flush = 0
 
     def initialise_per_frame_metric_lists(self):
@@ -272,18 +302,32 @@ class EvalMetricsTracker:
 
     def flush(self):
         """ONE device→host round-trip for all pending sums + per-frame
-        values: with the device behind a network tunnel, per-item
-        float()/np.asarray syncs cost ~30 ms RTT each (~1.4 s/batch over
-        ~30 metrics)."""
+        values, as PACKED arrays: with the device behind a network tunnel,
+        per-array fetch setup dominates (a ~200-small-array device_get
+        measured seconds-to-minutes; the packed equivalent ~25 ms)."""
         if self._dev_sums is None and not self._pending_pf:
             return
-        sums, pfs = jax.device_get((self._dev_sums, self._pending_pf))
-        if sums is not None:
-            for k, v in sums.items():
+        # stack same-shape pending batches so the fetch is ~2-3 leaves
+        # total (per-leaf transfer setup through the tunnel costs more
+        # than the bytes; a partial final batch forms its own group)
+        order: Dict[tuple, list] = {}
+        for i, pf in enumerate(self._pending_pf):
+            order.setdefault(pf.shape, []).append(i)
+        packed = {
+            s: jnp.stack([self._pending_pf[i] for i in idxs])
+            for s, idxs in order.items()
+        }
+        sums_vec, packed_h = jax.device_get((self._dev_sums, packed))
+        if sums_vec is not None:
+            for k, v in zip(self._sum_keys, sums_vec):
                 self.metric_sums[k] = self.metric_sums.get(k, 0.0) + float(v)
+        pfs = [None] * len(self._pending_pf)
+        for s, idxs in order.items():
+            for j, i in enumerate(idxs):
+                pfs[i] = packed_h[s][j]
         for pf in pfs:
-            for k, v in pf.items():
-                self.per_frame_metrics[k].append(np.asarray(v))
+            for k, row in zip(self._pf_keys, pf):
+                self.per_frame_metrics[k].append(np.asarray(row))
         self._dev_sums = None
         self._pending_pf = []
         self._batches_since_flush = 0
@@ -309,22 +353,48 @@ class EvalMetricsTracker:
             input_j2d, input_vis = convert_heatmaps_to_2d_joints_coordinates(
                 heatmaps, gaussian_heatmaps=True
             )
-        pf, sums = compute_batch_metrics(
-            self.metrics_to_track, pred_dict, target_dict,
-            input_j2d, input_vis, self.num_samples_for_prob_metrics,
-        )
-        if self._dev_sums is None:
-            self._dev_sums = sums
-        else:
-            self._dev_sums = jax.tree_util.tree_map(
-                jnp.add, self._dev_sums, sums
+        if self._sum_keys is None:
+            # first batch: run the dict-output kernel once to learn the
+            # (deterministic, metric-set-dependent) key order, then pack
+            # eagerly; later batches use the fused packed kernel
+            pf, sums = compute_batch_metrics(
+                self.metrics_to_track, pred_dict, target_dict,
+                input_j2d, input_vis, self.num_samples_for_prob_metrics,
             )
-        self._pending_pf.append(pf)
+            self._sum_keys = tuple(sorted(sums))
+            self._pf_keys = tuple(sorted(pf))
+            # Count sums (int32 IOU pixel counts) ride in f32: per-flush
+            # magnitudes stay ≤ ~2e9 where f32's ~1e-7 relative rounding is
+            # far below metric resolution, and f32 also removes the int32
+            # overflow risk of summing counts over a window.
+            svec = jnp.stack(
+                [sums[k] for k in self._sum_keys]
+            ).astype(jnp.float32)
+            pfmat = (
+                jnp.stack([pf[k] for k in self._pf_keys])
+                if self._pf_keys else None
+            )
+            self._dev_sums = (
+                svec if self._dev_sums is None else self._dev_sums + svec
+            )
+        else:
+            prev = (
+                self._dev_sums
+                if self._dev_sums is not None
+                else jnp.zeros((len(self._sum_keys),), jnp.float32)
+            )
+            pfmat, self._dev_sums = _compute_batch_metrics_packed(
+                self.metrics_to_track, pred_dict, target_dict,
+                input_j2d, input_vis, self.num_samples_for_prob_metrics,
+                self._sum_keys, self._pf_keys, prev,
+            )
+        if pfmat is not None:
+            self._pending_pf.append(pfmat)
         self._batches_since_flush += 1
         if return_per_frame_metrics:
-            pf_host = jax.device_get(pf)
+            pf_host = jax.device_get(pfmat) if pfmat is not None else []
             self.flush()
-            return {k: np.asarray(v) for k, v in pf_host.items()}
+            return {k: np.asarray(v) for k, v in zip(self._pf_keys, pf_host)}
         if self._batches_since_flush >= self.sync_every:
             self.flush()
         return None

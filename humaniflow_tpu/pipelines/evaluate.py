@@ -46,6 +46,15 @@ def _flip_x(points):
     return jnp.einsum("ij,...kj->...ki", flip, points)
 
 
+# Process-lifetime memo for the jitted eval step: a fresh closure per
+# evaluate_humaniflow call would RE-TRACE the whole program (and re-load
+# its executable through the device tunnel) every call — measured 25-45 s
+# of overhead per protocol run that lands asynchronously in whichever
+# batch first blocks (docs/DESIGN.md "Measurement methodology").  Keys
+# hold strong references to the model/SMPL objects so ids stay valid.
+_EVAL_STEP_CACHE: dict = {}
+
+
 def make_eval_step(
     model: HumaniflowModel,
     smpl_neutral: SMPLModel,
@@ -56,6 +65,35 @@ def make_eval_step(
     compute_samples: bool,
     compute_joints2d: bool,
     renderer=None,
+):
+    """Build (or reuse) the jitted per-batch eval function."""
+    key = (
+        id(model), id(smpl_neutral), id(smpl_male), id(smpl_female),
+        num_pred_samples, compute_samples, compute_joints2d,
+        cfg.DATA.PROXY_REP_SIZE, cfg.DATA.HEATMAP_GAUSSIAN_STD,
+        cfg.DATA.EDGE_NMS, cfg.DATA.EDGE_GAUSSIAN_STD,
+        cfg.DATA.EDGE_GAUSSIAN_SIZE, cfg.DATA.EDGE_THRESHOLD,
+    )
+    cached = _EVAL_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+    step = _build_eval_step(
+        model, smpl_neutral, smpl_male, smpl_female, cfg,
+        num_pred_samples, compute_samples, compute_joints2d,
+    )
+    _EVAL_STEP_CACHE[key] = (step, model, smpl_neutral, smpl_male, smpl_female)
+    return step
+
+
+def _build_eval_step(
+    model: HumaniflowModel,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    cfg: HumaniflowConfig,
+    num_pred_samples: int,
+    compute_samples: bool,
+    compute_joints2d: bool,
 ):
     """Build the jitted per-batch eval function."""
     img_wh = cfg.DATA.PROXY_REP_SIZE
@@ -387,6 +425,18 @@ def evaluate_humaniflow(
     else:
         source = assembled_batches
 
+    key_pool: list = []
+
+    def next_key():
+        # split keys in chunks of 64: a per-batch jax.random.split is an
+        # extra tiny device launch per batch through the tunnel
+        nonlocal key
+        if not key_pool:
+            ks = jax.random.split(key, 65)
+            key = ks[0]
+            key_pool.extend(ks[1:])
+        return key_pool.pop()
+
     for item in source:
         if batch_times is not None:
             import time as _time
@@ -400,7 +450,7 @@ def evaluate_humaniflow(
         j2d_target = prepared["joints2D"]
         j2d_vis = prepared["joints2D_visib"]
         silhouette_target = prepared["silhouette"]
-        key, sub = jax.random.split(key)
+        sub = next_key()
         pred, target, proxy, extra = eval_step(params, dev_batch, sub)
         if mesh is not None:
             # drop padded rows before metric accumulation
@@ -455,10 +505,13 @@ def evaluate_humaniflow(
             batch_times.append(_time.perf_counter() - _t0)
 
         if save_per_frame_metrics:
+            # keep DEVICE arrays — np.asarray here would be 3 blocking host
+            # syncs per batch through the tunnel; everything is fetched in
+            # one packed device_get after the loop
             fname_list.extend(fnames)
-            pose_list.append(np.asarray(extra["pose_rotmats_point_est"]))
-            shape_list.append(np.asarray(extra["shape_mode"]))
-            cam_list.append(np.asarray(extra["cam_wp"]))
+            pose_list.append(extra["pose_rotmats_point_est"])
+            shape_list.append(extra["shape_mode"])
+            cam_list.append(extra["cam_wp"])
 
     if batch_times is not None and batch_times:
         # fold the un-synced tail window's device drain into the last
@@ -488,8 +541,14 @@ def evaluate_humaniflow(
 
     if save_per_frame_metrics and save_path is not None:
         os.makedirs(save_path, exist_ok=True)
+        # one packed fetch for the whole run (3 leaves), not 3 per batch
+        pose_all, shape_all, cam_all = jax.device_get((
+            jnp.concatenate(pose_list),
+            jnp.concatenate(shape_list),
+            jnp.concatenate(cam_list),
+        ))
         np.save(os.path.join(save_path, "fname_per_frame.npy"), np.array(fname_list))
-        np.save(os.path.join(save_path, "pose_per_frame.npy"), np.concatenate(pose_list))
-        np.save(os.path.join(save_path, "shape_per_frame.npy"), np.concatenate(shape_list))
-        np.save(os.path.join(save_path, "cam_per_frame.npy"), np.concatenate(cam_list))
+        np.save(os.path.join(save_path, "pose_per_frame.npy"), pose_all)
+        np.save(os.path.join(save_path, "shape_per_frame.npy"), shape_all)
+        np.save(os.path.join(save_path, "cam_per_frame.npy"), cam_all)
     return final_metrics

@@ -59,17 +59,53 @@ def build_proxy_representation(
     return jnp.concatenate([edge_img, jnp.moveaxis(heatmaps, 1, -1)], axis=-1)
 
 
+# process-lifetime memo: a fresh closure per predict_humaniflow call would
+# re-trace the whole program and re-load its executable through the device
+# tunnel on every call (see pipelines/evaluate._EVAL_STEP_CACHE)
+_PREDICT_FN_CACHE: dict = {}
+
+
 def make_predict_fn(
     model: HumaniflowModel,
     smpl: SMPLModel,
     cfg: HumaniflowConfig,
     num_samples: int = 50,
     use_shape_mode_for_samples: bool = True,
+    mesh=None,
 ):
-    """Jitted: proxy (B, wh, wh, 18) → full distribution-inference outputs."""
+    """Jitted (memoized): proxy (B, wh, wh, 18) → full distribution
+    -inference outputs.
+
+    :param mesh: optional jax.sharding.Mesh.  A 1-D ``data`` mesh shards
+        the batch; a 2-D ``(data, sample)`` mesh (parallel/sample_parallel
+        .make_mesh_2d) additionally splits the B·N SMPL-samples stage over
+        the ``sample`` axis — the latency lever for serving, since N≈100
+        sample meshes dominate per-batch compute (SURVEY.md §2.7 design
+        intent; the reference is single-GPU eager).
+    """
+    cache_key = (
+        id(model), id(smpl), num_samples, use_shape_mode_for_samples,
+        id(mesh),
+    )
+    cached = _PREDICT_FN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached[0]
+    sample_shards = (
+        mesh.shape.get("sample", 1) if mesh is not None else 1
+    )
+    if sample_shards > 1:
+        assert num_samples % sample_shards == 0, (
+            f"num_samples={num_samples} must divide the sample axis "
+            f"({sample_shards})"
+        )
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     @jax.jit
     def predict(params, proxy, key):
+        if mesh is not None:
+            proxy = jax.lax.with_sharding_constraint(
+                proxy, NamedSharding(mesh, P("data"))
+            )
         out = model.apply(
             params, proxy, key=key,
             num_samples=num_samples,
@@ -85,12 +121,21 @@ def make_predict_fn(
         tpose = smpl_forward(smpl, out["shape_mode"], eye23, eye1)
 
         n = num_samples
-        flat = smpl_forward(
-            smpl,
-            out["shape_samples"].reshape(b * n, -1),
-            out["pose_rotmats_samples"].reshape(b * n, 23, 3, 3),
-            jnp.broadcast_to(out["glob_rotmat"][:, None], (b, n, 3, 3)).reshape(b * n, 3, 3),
-        )
+        flat_shp = out["shape_samples"].reshape(b * n, -1)
+        flat_pose = out["pose_rotmats_samples"].reshape(b * n, 23, 3, 3)
+        flat_glob = jnp.broadcast_to(
+            out["glob_rotmat"][:, None], (b, n, 3, 3)
+        ).reshape(b * n, 3, 3)
+        if sample_shards > 1:
+            # split the flat B·N axis over BOTH mesh axes (data-major
+            # blocks match the b-major reshape layout) so every device
+            # runs an equal share of the N-sample SMPL stage; XLA inserts
+            # the sample-axis collective for the variance reduction below
+            flat_spec = NamedSharding(mesh, P(("data", "sample")))
+            flat_shp = jax.lax.with_sharding_constraint(flat_shp, flat_spec)
+            flat_pose = jax.lax.with_sharding_constraint(flat_pose, flat_spec)
+            flat_glob = jax.lax.with_sharding_constraint(flat_glob, flat_spec)
+        flat = smpl_forward(smpl, flat_shp, flat_pose, flat_glob)
         nv = flat["vertices"].shape[1]
         verts_samples = flat["vertices"].reshape(b, n, nv, 3)
         joints_samples = flat["joints"].reshape(b, n, -1, 3)
@@ -117,6 +162,7 @@ def make_predict_fn(
             "vertex_uncertainty_directional": directional_std,
         }
 
+    _PREDICT_FN_CACHE[cache_key] = (predict, model, smpl, mesh)
     return predict
 
 
@@ -173,11 +219,13 @@ def predict_humaniflow(
         None if joints2d_conf is None else jnp.asarray(joints2d_conf), cfg,
         joints2d_visib_threshold=joints2d_visib_threshold,
     )
-    predict = make_predict_fn(model, smpl, cfg, num_samples=num_samples)
+    predict = make_predict_fn(model, smpl, cfg, num_samples=num_samples, mesh=mesh)
     if mesh is not None:
         from ..parallel.mesh import pad_batch_to_devices, replicate, shard_batch
 
-        proxy, _ = pad_batch_to_devices(proxy, mesh.devices.size)
+        # pad to the DATA axis only — on a 2-D (data, sample) mesh the
+        # sample axis shards N, not B
+        proxy, _ = pad_batch_to_devices(proxy, mesh.shape.get("data", mesh.devices.size))
         proxy = shard_batch(proxy, mesh)
         params = replicate(params, mesh)
     pred = predict(params, proxy, key)

@@ -288,10 +288,13 @@ def train_humaniflow(
     bsz = cfg.TRAIN.BATCH_SIZE
     for epoch in range(current_epoch, num_epochs):
         tracker.initialise_loss_metric_sums()
-        # Per-batch scalar sums stay ON DEVICE and are fetched in one
-        # device_get at epoch end — a per-step fetch costs a tunnel RTT
-        # (~30 ms, measured 178 vs 152 ms/iter; docs/DESIGN.md).
-        pending_meta, pending_vals = [], []
+        # Per-batch scalar sums stay ON DEVICE, PACKED into one small
+        # vector per step, and are fetched as ONE concatenated array at
+        # epoch end — a per-step fetch costs a tunnel RTT (~30 ms,
+        # measured 178 vs 152 ms/iter), and a multi-hundred-leaf
+        # device_get pays per-array transfer setup that measured
+        # seconds-to-minutes (docs/DESIGN.md "Measurement methodology").
+        pending_meta, pending_vals, pending_defs = [], [], []
         for split, dataset in (("train", train_dataset), ("val", val_dataset)):
             step_count = 0
             for host_batch in dataset.epoch_batches(bsz):
@@ -330,13 +333,23 @@ def train_humaniflow(
                     )
                 else:
                     vals = {"loss": metrics["total"], "sums": {}}
+                leaves, treedef = jax.tree_util.tree_flatten(vals)
                 pending_meta.append((split, bsz))
-                pending_vals.append(vals)
+                pending_vals.append(jnp.stack(leaves).astype(jnp.float32))
+                pending_defs.append(treedef)
                 step_count += 1
                 if steps_per_epoch is not None and step_count >= steps_per_epoch:
                     break
-        for (split, b), vals in zip(pending_meta, jax.device_get(pending_vals)):
-            tracker.add_batch_sums(split, vals, b)
+        if pending_vals:
+            sizes = [int(v.shape[0]) for v in pending_vals]
+            flat = jax.device_get(jnp.concatenate(pending_vals))
+            off = 0
+            for (split, b), treedef, size in zip(pending_meta, pending_defs, sizes):
+                vals = jax.tree_util.tree_unflatten(
+                    treedef, list(flat[off : off + size])
+                )
+                off += size
+                tracker.add_batch_sums(split, vals, b)
         tracker.update_per_epoch()
 
         if tracker.determine_save_model_weights_this_epoch(

@@ -55,6 +55,13 @@ def main():
                         help="data-parallel inference over the first N "
                              "devices (jax.sharding 1-D data mesh); "
                              "default single-device")
+    parser.add_argument("--sample_devices", type=int, default=None,
+                        help="shard the N-sample SMPL stage over S devices "
+                             "(2-D (data, sample) mesh: data axis = "
+                             "num_devices // S; the serving-latency lever "
+                             "— parallel/sample_parallel.py).  Requires "
+                             "--num_devices divisible by S and "
+                             "--num_samples divisible by S")
     args = parser.parse_args()
 
     import numpy as np
@@ -167,7 +174,16 @@ def main():
     bbox_widths = hr["bbox_widths"]
 
     mesh = None
-    if args.num_devices:
+    if args.num_devices and args.sample_devices and args.sample_devices > 1:
+        from humaniflow_tpu.parallel.sample_parallel import make_mesh_2d
+
+        assert args.num_devices % args.sample_devices == 0, (
+            "--num_devices must be divisible by --sample_devices"
+        )
+        mesh = make_mesh_2d(
+            args.num_devices // args.sample_devices, args.sample_devices
+        )
+    elif args.num_devices:
         from humaniflow_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.num_devices)

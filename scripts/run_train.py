@@ -21,12 +21,15 @@ def main():
     parser.add_argument("--cfg", type=str, default=None)
     parser.add_argument("--cfg_overrides", "-O", nargs="*", default=[])
     parser.add_argument("--num_devices", "-D", type=int, default=None)
-    parser.add_argument("--cull", action="store_true",
+    parser.add_argument("--cull", default=True,
+                        action=argparse.BooleanOptionalAction,
                         help="back-face-cull the synthetic-data renders: "
                              "exact and ~13%% faster for real SMPL meshes "
                              "(closed, consistently wound, non-self-"
-                             "intersecting); leave off for meshes that "
-                             "self-intersect")
+                             "intersecting — DEFAULT, exactness test: "
+                             "tests/test_binned_rasterizer.py::"
+                             "test_cull_exact_on_closed_mesh); --no-cull "
+                             "for meshes that self-intersect")
     args = parser.parse_args()
 
     from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache

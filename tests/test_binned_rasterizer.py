@@ -455,6 +455,127 @@ def test_fused_render_backface_culling():
     assert (part0 == part1).mean() > 0.5
 
 
+def _icosphere(subdiv=3):
+    """Closed, consistently-outward-wound icosphere (20·4^subdiv faces) —
+    the geometry class back-face culling is EXACT for (closed + no
+    self-intersection: every z-buffer winner is front-facing)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    for _ in range(subdiv):
+        vlist = list(map(tuple, verts))
+        cache = {tuple(np.round(v, 12)): i for i, v in enumerate(vlist)}
+
+        def midpoint(i, j):
+            m = (verts[i] + verts[j]) / 2.0
+            m = m / np.linalg.norm(m)
+            key = tuple(np.round(m, 12))
+            if key not in cache:
+                cache[key] = len(vlist)
+                vlist.append(tuple(m))
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        verts = np.array(vlist, np.float64)
+        faces = new_faces
+    faces = np.array(faces, np.int32)
+    # enforce outward winding (origin is interior)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    n = np.cross(v1 - v0, v2 - v0)
+    flip = np.einsum("fi,fi->f", n, (v0 + v1 + v2) / 3.0) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return verts.astype(np.float32), faces
+
+
+@requires_tpu
+def test_cull_exact_on_closed_mesh():
+    """Back-face culling is EXACT — bit-identical depth, winner and
+    attribute planes — on a closed, consistently-wound, non-self-
+    intersecting mesh (the real-SMPL geometry class; the default train
+    config culls, scripts/run_train.py --cull).  Uses a radially-bumped
+    icosphere (star-shaped → closed with no self-intersections) under
+    anisotropic stretch, so the surface is non-convex with thousands of
+    genuinely occluded back faces."""
+    from humaniflow_tpu.render.binned_rasterizer import (
+        rasterize_binned_with_attrs,
+    )
+    from humaniflow_tpu.render.rasterizer import project_perspective_screen
+
+    verts, faces = _icosphere(subdiv=3)  # 1280 faces
+    rng = np.random.default_rng(4)
+    b = 6
+    # star-shaped radial bump + anisotropic scale per batch element
+    vs = []
+    for i in range(b):
+        d = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+        bump = 1.0 + 0.25 * np.sin(3.0 * d[:, 0] + i) * np.cos(4.0 * d[:, 1])
+        scale = 1.0 + 0.5 * rng.uniform(size=3)
+        vs.append(d * bump[:, None] * scale[None])
+    verts_b = jnp.asarray(np.stack(vs), jnp.float32)
+    cam_t = jnp.tile(jnp.asarray([[0.0, 0.0, 4.0]], jnp.float32), (b, 1))
+    sv = project_perspective_screen(verts_b, cam_t, 300.0, 256)
+
+    const_attrs = jnp.asarray(
+        rng.uniform(size=(1, faces.shape[0], 4)), jnp.float32
+    )
+
+    def run(cull_sign):
+        frags, planes, overflow = rasterize_binned_with_attrs(
+            sv, jnp.asarray(faces), 256,
+            const_attrs=const_attrs, z_grads=True, emit_frags=True,
+            cull_sign=cull_sign,
+        )
+        assert int(np.asarray(overflow).sum()) == 0
+        return (
+            np.asarray(frags.face_idx), np.asarray(frags.depth),
+            np.asarray(planes),
+        )
+
+    uncull = run(0)
+    mask = uncull[1] < 1e9
+    assert mask.any() and (~mask).any()
+
+    # self-calibrate the front-face sign: the uncull z-buffer winners ARE
+    # the front faces, so their signed screen areas determine which sign
+    # a consistently-wound mesh's culling must keep (the production SMPL
+    # topology uses cull_sign=+1; the sign is a per-mesh winding property)
+    x = np.asarray(sv)
+    tri = x[:, faces]
+    area = (
+        (tri[..., 1, 0] - tri[..., 0, 0]) * (tri[..., 2, 1] - tri[..., 0, 1])
+        - (tri[..., 2, 0] - tri[..., 0, 0]) * (tri[..., 1, 1] - tri[..., 0, 1])
+    )
+    winner = uncull[0][mask]
+    batch_of = np.broadcast_to(
+        np.arange(area.shape[0])[:, None, None], uncull[0].shape
+    )[mask]
+    winner_areas = area[batch_of, winner]
+    front_sign = 1 if (winner_areas > 0).mean() > 0.5 else -1
+    # closed + consistently wound: EVERY winner is front-facing
+    assert ((winner_areas * front_sign) > 0).all()
+
+    culled = run(front_sign)
+    # culling must change NOTHING: identical winners, depths, attributes
+    np.testing.assert_array_equal(uncull[0], culled[0])
+    np.testing.assert_array_equal(uncull[1], culled[1])
+    np.testing.assert_array_equal(uncull[2], culled[2])
+    # and it really did cull: roughly half the faces are back-facing
+    assert ((area * front_sign) < 0).mean() > 0.4
+
+
 def test_bin_faces_large_image_key_packing_cpu():
     """Regression: the single-int32 packed sort key must not overflow when
     the strip count exceeds 127 (img_wh >= 384 at 8-row strips previously

@@ -190,6 +190,49 @@ def test_demo_predict_cli_data_parallel(tmp_path, monkeypatch):
     assert np.isfinite(d["pose_rotmats_point_est"]).all()
 
 
+def test_demo_predict_cli_sample_parallel(tmp_path, monkeypatch):
+    """run_predict.main() with --num_devices 8 --sample_devices 2 (2-D
+    (data=4, sample=2) mesh) on the virtual CPU mesh — the sample-axis
+    latency lever reachable from the CLI (VERDICT r3 item 6)."""
+    import importlib
+
+    import humaniflow_tpu.models as M
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (single real chip)")
+
+    ph = importlib.import_module("humaniflow_tpu.pipelines.predict_hrnet")
+    monkeypatch.setattr(ph, "HRNET_INPUT_WH", (64, 96))
+    monkeypatch.setattr(ph, "HRNET_HEATMAP_WH", (16, 24))
+    monkeypatch.setattr(M, "load_smpl_npz", lambda *a, **k: M.synthetic_smpl(num_verts=6890))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    import shutil
+
+    for f in sorted(os.listdir(DEMO))[:2]:
+        shutil.copy(os.path.join(DEMO, f), img_dir / f)
+    cfg_path = tmp_path / "small.yaml"
+    cfg_path.write_text("DATA:\n  PROXY_REP_SIZE: 32\n")
+
+    save_dir = tmp_path / "out"
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import run_predict
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_predict.py", "-I", str(img_dir), "-S", str(save_dir),
+        "-N", "2", "--cfg", str(cfg_path),
+        "--num_devices", "8", "--sample_devices", "2",
+    ])
+    run_predict.main()
+
+    dumps = [f for f in os.listdir(save_dir) if f.endswith("_pred.npz")]
+    assert len(dumps) == 2
+    d = np.load(os.path.join(save_dir, dumps[0]))
+    assert np.isfinite(d["pose_rotmats_point_est"]).all()
+    assert np.isfinite(d["cam_wp"]).all()
+
+
 def test_stage_timer():
     from humaniflow_tpu.utils.profiling import StageTimer
 
