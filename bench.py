@@ -210,6 +210,10 @@ def bench_train(cfg, model, params, smpl):
         # SMPL meshes, tests/test_binned_rasterizer.py)
         rasterizer="binned", texture_sampling="face", emit_uv=False,
         binned_cull=True,
+        # tightened caps admitted by culling (scripts/run_train.py defaults;
+        # sized at the true training distribution by
+        # scripts/profile_overflow_margin.py — zero content drops)
+        binned_live_cap=28672, binned_k_max=512, emit_overflow=True,
     )
     synth = make_synth_data_fn(cfg, smpl, renderer)
     from humaniflow_tpu.pipelines.train import make_optimizer
@@ -229,6 +233,7 @@ def bench_train(cfg, model, params, smpl):
     def full_iter(params, opt_state):
         batch = synth(k1, pose, texture, background)
         batch.pop("rgb_in")
+        batch.pop("binning_overflow", None)
         return step(params, opt_state, batch, k2)
 
     # warmup/compile both programs
@@ -249,6 +254,7 @@ def bench_train(cfg, model, params, smpl):
 
     batch = synth(k1, pose, texture, background)
     batch.pop("rgb_in")
+    batch.pop("binning_overflow", None)
     step_flops = _compiled_flops(step, params, opt_state, batch, k2)
     synth_flops = _compiled_flops(synth, k1, pose, texture, background)
     flops = step_flops + synth_flops

@@ -185,7 +185,7 @@ def make_synth_data_fn(
             [edge_in, jnp.moveaxis(heatmaps, 1, -1)], axis=-1
         )
 
-        return {
+        out = {
             "proxy": proxy,
             "pose_rotmats": body_r,
             "glob_rotmats": glob_r,
@@ -194,6 +194,14 @@ def make_synth_data_fn(
             "joints2D_vis": j2d_vis.astype(jnp.float32),
             "rgb_in": rgb,
         }
+        if "binning_overflow" in render:
+            # renderer.emit_overflow: VISIBLE candidates dropped by the
+            # binned backend's live_cap this batch — the train loop
+            # accumulates it on device and warns per epoch (operator
+            # visibility for the tightened culled-render caps,
+            # scripts/run_train.py)
+            out["binning_overflow"] = render["binning_overflow"]
+        return out
 
     return synth_batch
 
@@ -295,6 +303,7 @@ def train_humaniflow(
         # device_get pays per-array transfer setup that measured
         # seconds-to-minutes (docs/DESIGN.md "Measurement methodology").
         pending_meta, pending_vals, pending_defs = [], [], []
+        epoch_overflow = None  # device-side running render-cap overflow
         for split, dataset in (("train", train_dataset), ("val", val_dataset)):
             step_count = 0
             for host_batch in dataset.epoch_batches(bsz):
@@ -311,6 +320,11 @@ def train_humaniflow(
                     dev_inputs["background"],
                 )
                 batch.pop("rgb_in")
+                ov = batch.pop("binning_overflow", None)
+                if ov is not None:
+                    epoch_overflow = (
+                        ov if epoch_overflow is None else epoch_overflow + ov
+                    )
                 if split == "train":
                     params, opt_state, metrics = train_step(params, opt_state, batch, k2)
                 else:
@@ -342,7 +356,19 @@ def train_humaniflow(
                     break
         if pending_vals:
             sizes = [int(v.shape[0]) for v in pending_vals]
-            flat = jax.device_get(jnp.concatenate(pending_vals))
+            # one fetch for scalars + the render-overflow counter (separate
+            # device_gets would pay an extra tunnel RTT per epoch)
+            flat, ov_total = jax.device_get(
+                (jnp.concatenate(pending_vals), epoch_overflow)
+            )
+            if ov_total is not None and int(ov_total) > 0:
+                print(
+                    f"WARNING: synth-data render dropped {int(ov_total)} "
+                    f"visible face-candidates this epoch (binned_live_cap "
+                    f"exceeded — bottom-image-strip content is lost).  "
+                    f"Raise binned_live_cap (TexturedIUVRenderer) if this "
+                    f"persists"
+                )
             off = 0
             for (split, b), treedef, size in zip(pending_meta, pending_defs, sizes):
                 vals = jax.tree_util.tree_unflatten(

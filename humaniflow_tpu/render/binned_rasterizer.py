@@ -235,9 +235,22 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
-    coefs (S, K_slots, 9), overflow scalar).  K_slots = k_max + FACE_CHUNK:
-    windows are 128-aligned so the leading partial chunk carries up to 127
-    foreign slots masked via lo.
+    coefs (S, K_slots, 9), overflow scalar, live_drop scalar).
+    K_slots = k_max + FACE_CHUNK: windows are 128-aligned so the leading
+    partial chunk carries up to 127 foreign slots masked via lo.
+
+    `overflow` is the union of every dropped-candidate source (k_max far
+    -face drops, tall/wide-face row losses, tall_cap side-table overflow,
+    live_cap drops) — the exactness signal the coverage path relies on.
+    `live_drop` counts ONLY the live_cap drops: with z_order=True those are
+    the sole cap-controlled CONTENT drops (the sort is strip-major, so they
+    remove bottom-image-strip candidates outright, while k_max drops only
+    the farthest — z-occluded — faces of a near-to-far window), which makes
+    it the right operator-warning signal for long-running training
+    (pipelines/train.py).  At the true training distribution (shape
+    σ=1.25, cam tz ∈ [2, 3]; scripts/profile_overflow_margin.py) the union
+    counter fires on EVERY batch through the synthetic test mesh's
+    stretched triangles, while live_drop is exactly 0 at the shipped caps.
 
     :param row_cand: row-strip candidates per face — faces taller than
         row_cand·8 px are dropped (counted in overflow).  6 covers real
@@ -372,6 +385,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     coefs = _edge_plane_coeffs(tri)[..., :n_coef]  # (F, n_coef)
     if extra_rows is not None:
         coefs = jnp.concatenate([coefs, extra_rows], axis=-1)  # (F, n_coef+A)
+    live_drop = jnp.zeros((), jnp.int32)
     if live_cap is not None and live_cap < n_pad:
         # prefix coefficient gather: the random per-slot gather is the
         # binning's top cost (issue-bound, ~1.2 ns/element — 0.66 ms/mesh
@@ -384,7 +398,8 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
         assert live_cap % FACE_CHUNK == 0
         c = coefs.shape[-1]
         n_live = start[s]  # first sentinel position in the sorted order
-        overflow = overflow + jnp.maximum(n_live - live_cap, 0)
+        live_drop = jnp.maximum(n_live - live_cap, 0)
+        overflow = overflow + live_drop
         cpre = coefs[vals[:live_cap]].reshape(
             live_cap // FACE_CHUNK, FACE_CHUNK, c
         )
@@ -394,7 +409,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
         gathered = cpre[ridx_c].reshape(s, -1, c)  # (S, K_slots, c)
     else:
         gathered = coefs[fids]  # (S, K_slots, 9+A) — fids always in [0, F)
-    return bounds, fids, gathered, overflow
+    return bounds, fids, gathered, overflow, live_drop
 
 
 def _rasterize_binned_impl(
@@ -428,12 +443,12 @@ def _rasterize_binned_impl(
 
     tri = verts_screen[:, faces].reshape(b, f, 9)
     if extra is None:
-        bounds, fids, coefs, overflow = jax.vmap(
+        bounds, fids, coefs, overflow, live_drop = jax.vmap(
             lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap,
                                  live_cap=live_cap, cull_sign=cull_sign)
         )(tri)
     else:
-        bounds, fids, coefs, overflow = jax.vmap(
+        bounds, fids, coefs, overflow, live_drop = jax.vmap(
             lambda t, e: _bin_faces(t, f, h, w, k_max, row_cand, extra_rows=e,
                                     tall_cap=tall_cap, live_cap=live_cap,
                                     cull_sign=cull_sign)
@@ -511,7 +526,7 @@ def _rasterize_binned_impl(
     planes = (
         jnp.stack(attr_planes, axis=-1) if attr_planes else None
     )  # (B, H, W, n_lin + n_const [+ za, zb])
-    return frags, planes, overflow
+    return frags, planes, overflow, live_drop
 
 
 def _make_coverage_kernel(n_col_strips, strip_rows=STRIP_ROWS):
@@ -610,7 +625,10 @@ def rasterize_binned_coverage(
     s = (h // strip_rows) * n_col_strips
 
     tri = verts_screen[:, faces].reshape(b, f, 9)
-    bounds, fids, coefs, overflow = jax.vmap(
+    # the union overflow counter is the exactness signal here: with
+    # z_order=False EVERY drop source removes coverage, so live_drop is
+    # not split out
+    bounds, fids, coefs, overflow, _ = jax.vmap(
         lambda t: _bin_faces(
             t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign,
             tall_cap=tall_cap, z_order=False, live_cap=live_cap,
@@ -670,7 +688,7 @@ def rasterize_binned(
     :return: (Fragments, overflow) — overflow is (B,) int32 of dropped
         (face, strip) pairs per batch element (0 at body-mesh scale).
     """
-    frags, _, overflow = _rasterize_binned_impl(
+    frags, _, overflow, _ = _rasterize_binned_impl(
         verts_screen, faces, image_size, k_max, row_cand, tall_cap=tall_cap
     )
     return frags, overflow
@@ -721,8 +739,11 @@ def rasterize_binned_with_attrs(
         test mesh, whose random blendshapes cross faces) exposes interior
         back faces where culled winners differ (masks stay identical,
         measured 100%) — keep 0 there.
-    :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow);
-        plane values are 0 on uncovered pixels.
+    :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow,
+        live_drop); plane values are 0 on uncovered pixels.  `overflow` is
+        the union of all drop sources; `live_drop` (B,) counts only the
+        live_cap drops — the content-dropping subset on this z-ordered
+        path (see _bin_faces).
     """
     return _rasterize_binned_impl(
         verts_screen, faces, image_size, k_max, row_cand,

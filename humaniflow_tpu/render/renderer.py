@@ -171,6 +171,14 @@ class TexturedIUVRenderer:
     # bit-exact by construction (no seam-hole/overflow caveats) at ~3x the
     # cost.  scripts/run_evaluate.py --exact_silhouettes.
     silhouette_exact: bool = False
+    # include "binning_overflow" (scalar int32) in the render output:
+    # CONTENT-dropping candidates this call — i.e. the binned backend's
+    # live_cap drops, which remove bottom-image-strip candidates outright
+    # (k_max drops only z-occluded far faces on this z-ordered path and are
+    # excluded; binned_rasterizer._bin_faces).  Long-running consumers (the
+    # train loop) surface it to the operator per epoch.  Always 0 for the
+    # exact xla/tiled backends.
+    emit_overflow: bool = False
 
     def __post_init__(self):
         assert self.projection_type in ("orthographic", "perspective")
@@ -324,6 +332,10 @@ class TexturedIUVRenderer:
             "depth_images": jnp.where(frags.mask, frags.depth, 0.0),
             "silhouettes": frags.mask.astype(jnp.float32),
         }
+        if self.emit_overflow:
+            # exact backends never drop candidates — constant 0 keeps the
+            # output contract identical across rasterizer choices
+            out["binning_overflow"] = jnp.zeros((), jnp.int32)
 
         if want_rgb:
             # batched per-face table: [normal, v0, v1, v2(, colours v0..v2)]
@@ -491,7 +503,7 @@ class TexturedIUVRenderer:
         const = jnp.concatenate(const_parts, axis=-1)
         z_grads = want_rgb and not face_tex
 
-        frags, planes, _overflow = rasterize_binned_with_attrs(
+        frags, planes, _overflow, _live_drop = rasterize_binned_with_attrs(
             screen, faces, self.img_wh,
             lin_attrs=lin, const_attrs=const, z_grads=z_grads,
             k_max=self.binned_k_max, row_cand=self.binned_row_cand,
@@ -499,6 +511,13 @@ class TexturedIUVRenderer:
             cull_sign=1 if self.binned_cull else 0,
             tall_cap=self.binned_tall_cap,
         )
+        # the emitted counter is the CONTENT-dropping subset only (live_cap
+        # drops): on this z-ordered path k_max overflow drops z-occluded
+        # far faces and the tall term fires benignly on off-frame/stretched
+        # faces every batch at the true training distribution — a union
+        # counter would warn unconditionally (binned_rasterizer._bin_faces,
+        # scripts/profile_overflow_margin.py)
+        overflow = _live_drop.sum().astype(jnp.int32)
         mask = frags.mask
         # plane layout: [atlas uv?][lin albedo?][lit rgb?][part][za zb?]
         i = 0
@@ -526,6 +545,8 @@ class TexturedIUVRenderer:
             "depth_images": jnp.where(mask, frags.depth, 0.0),
             "silhouettes": mask.astype(jnp.float32),
         }
+        if self.emit_overflow:
+            out["binning_overflow"] = overflow
         if not want_rgb:
             return out
         if face_tex:

@@ -9,9 +9,12 @@ synth-data program (pipelines/train.py make_synth_data_fn, B=72, 256² —
 the exact training configuration) for each cap combination and reports
 overflow, so the shipped defaults are measured, not guessed.
 
-Overflow margins at the tight caps were separately stress-tested across
-harder-than-training poses (σ=0.8 axis-angle, 3 seeds): zero overflow at
-live_cap=24576 / k_max=512 with culling on.
+Overflow margins are sized by scripts/profile_overflow_margin.py at the
+TRUE training distribution (shape σ=1.25, cam tz ∈ [2, 3], poses to
+σ=0.8): live_cap=28672 is the smallest FACE_CHUNK multiple with zero
+content (live_cap) drops over 3456 draws; k_max drops only z-occluded
+far faces on this z-ordered path (label impact bounded by
+tests/test_binned_rasterizer.py::test_binned_agreement_at_training_scale).
 
 Usage:  python scripts/profile_render_caps.py   (runs on the TPU)
 """
@@ -69,9 +72,12 @@ def main():
         dict(binned_cull=False, binned_live_cap=49152, binned_k_max=896),
         # culling alone
         dict(binned_cull=True, binned_live_cap=49152, binned_k_max=896),
-        # culling + tightened caps (overflow-stress-tested margins)
+        # culling + tightened caps
         dict(binned_cull=True, binned_live_cap=28672, binned_k_max=640),
         dict(binned_cull=True, binned_live_cap=24576, binned_k_max=512),
+        # shipped: smallest zero-content-drop live_cap at the true
+        # training distribution (profile_overflow_margin.py)
+        dict(binned_cull=True, binned_live_cap=28672, binned_k_max=512),
     ]
     print(f"device: {jax.devices()[0]}  B={B} img={IMG}")
     for kw in combos:

@@ -118,7 +118,7 @@ def main():
     bin_j = jax.jit(jax.vmap(
         lambda t, e: _bin_faces(t, f, IMG, IMG, 896, 6, extra_rows=e[..., 9:])))
     # NOTE: _bin_faces internally recomputes edge coeffs; pass attr rows only
-    bounds, fids, coefs, overflow = jax.block_until_ready(bin_j(tri, extra))
+    bounds, fids, coefs, overflow, _ = jax.block_until_ready(bin_j(tri, extra))
     results["3_bin_sort_gather"] = timed(bin_j, tri, extra)
 
     # sort alone
@@ -157,7 +157,7 @@ def main():
     kern_j = jax.jit(lambda s: rasterize_binned_with_attrs(
         s, faces, IMG, lin_attrs=lin_fused, const_attrs=part_const,
         z_grads=True, emit_frags=False))
-    frags, planes, _ = jax.block_until_ready(kern_j(screen))
+    frags, planes, _, _ = jax.block_until_ready(kern_j(screen))
     results["4_kernel_plus_bin"] = timed(kern_j, screen)
 
     # texture-atlas per-pixel gather (current XLA form)

@@ -87,6 +87,18 @@ def main():
         # (docs/DESIGN.md "Texture sampling modes")
         rasterizer="binned", texture_sampling="face", emit_uv=False,
         binned_cull=args.cull,
+        # culling ~halves the live candidate count, so the live-prefix
+        # coefficient gather cap and per-strip window shrink with it:
+        # synth 114.4 -> ~80 ms/batch measured at B=72/256² (TPU v5e,
+        # scripts/profile_render_caps.py).  live_cap=28672 is the smallest
+        # FACE_CHUNK-multiple with ZERO content drops over 3456 draws at
+        # the TRUE training distribution (shape σ=1.25, cam tz ∈ [2, 3],
+        # poses up to σ=0.8; scripts/profile_overflow_margin.py — 24576
+        # measurably drops bottom-strip content); any future drop is
+        # surfaced per-epoch by the train loop (emit_overflow)
+        binned_live_cap=28672 if args.cull else 49152,
+        binned_k_max=512 if args.cull else 896,
+        emit_overflow=True,
     )
     model = HumaniflowModel(cfg.MODEL)
 

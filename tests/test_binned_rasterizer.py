@@ -323,35 +323,50 @@ def test_binned_agreement_at_training_scale():
     background = jnp.asarray(rng.uniform(size=(b, 256, 256, 3)), jnp.float32)
     key = jax.random.PRNGKey(7)
 
+    configs = {
+        "xla": dict(rasterizer="xla"),
+        "binned": dict(rasterizer="binned"),
+        # the SHIPPED training configuration (scripts/run_train.py):
+        # culled, tightened caps sized at the true training distribution
+        # (scripts/profile_overflow_margin.py), face-centroid texels —
+        # the label-impact bound below is the safety evidence for those
+        # caps (their k_max drops are z-occluded by construction; the
+        # union overflow counter cannot distinguish content drops)
+        "shipped": dict(
+            rasterizer="binned", texture_sampling="face", emit_uv=False,
+            binned_cull=True, binned_live_cap=28672, binned_k_max=512,
+        ),
+    }
     batches = {}
-    for backend in ("xla", "binned"):
+    for name, kw in configs.items():
         renderer = TexturedIUVRenderer(
             img_wh=256, projection_type="perspective",
             focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
-            rasterizer=backend,
+            **kw,
         )
         synth = make_synth_data_fn(cfg, smpl, renderer)
-        batches[backend] = jax.tree_util.tree_map(
+        batches[name] = jax.tree_util.tree_map(
             np.asarray, synth(key, pose72, texture, background)
         )
 
     vis_x = batches["xla"]["joints2D_vis"]
-    vis_b = batches["binned"]["joints2D_vis"]
-    flip_rate = (vis_x != vis_b).mean()
-    j2d_shift = np.abs(
-        batches["xla"]["joints2D"] - batches["binned"]["joints2D"]
-    ).mean()
-    proxy_diff = (
-        np.abs(batches["xla"]["proxy"] - batches["binned"]["proxy"]) > 0.1
-    ).mean()
-    print(
-        f"[binned@train-scale] vis_flip_rate={flip_rate:.5f} "
-        f"mean_j2d_shift_px={j2d_shift:.3f} proxy_pixel_diff={proxy_diff:.5f}"
-    )
-    # visibility labels flip on well under 1% of joints; keypoint targets
-    # shift by well under a pixel on average
-    assert flip_rate < 0.01
-    assert j2d_shift < 1.0
+    for name in ("binned", "shipped"):
+        vis_b = batches[name]["joints2D_vis"]
+        flip_rate = (vis_x != vis_b).mean()
+        j2d_shift = np.abs(
+            batches["xla"]["joints2D"] - batches[name]["joints2D"]
+        ).mean()
+        proxy_diff = (
+            np.abs(batches["xla"]["proxy"] - batches[name]["proxy"]) > 0.1
+        ).mean()
+        print(
+            f"[{name}@train-scale] vis_flip_rate={flip_rate:.5f} "
+            f"mean_j2d_shift_px={j2d_shift:.3f} proxy_pixel_diff={proxy_diff:.5f}"
+        )
+        # visibility labels flip on well under 1% of joints; keypoint
+        # targets shift by well under a pixel on average
+        assert flip_rate < 0.01
+        assert j2d_shift < 1.0
 
 
 def test_bin_faces_live_cap_prefix_gather_cpu():
@@ -375,12 +390,14 @@ def test_bin_faces_live_cap_prefix_gather_cpu():
 
     k_max = 256
     base = _bin_faces(jnp.asarray(tri), f, h, w, k_max)
-    bounds_b, fids_b, coefs_b, ov_b = map(np.asarray, base)
+    bounds_b, fids_b, coefs_b, ov_b, ld_b = map(np.asarray, base)
+    assert int(ld_b) == 0  # no live_cap -> no content drops counted
 
     capped = _bin_faces(
         jnp.asarray(tri), f, h, w, k_max, live_cap=4 * FACE_CHUNK * 8
     )
-    bounds_c, fids_c, coefs_c, ov_c = map(np.asarray, capped)
+    bounds_c, fids_c, coefs_c, ov_c, ld_c = map(np.asarray, capped)
+    assert int(ld_c) == 0  # cap covers the live candidates
 
     np.testing.assert_array_equal(bounds_b, bounds_c)
     np.testing.assert_array_equal(fids_b, fids_c)
@@ -394,11 +411,16 @@ def test_bin_faces_live_cap_prefix_gather_cpu():
     # undersized cap: overflow grows by the uncovered live candidates and
     # every dropped slot reads the pad block (c0 == -1 → never inside)
     tiny = _bin_faces(jnp.asarray(tri), f, h, w, k_max, live_cap=FACE_CHUNK)
-    bounds_t, fids_t, coefs_t, ov_t = map(np.asarray, tiny)
+    bounds_t, fids_t, coefs_t, ov_t, ld_t = map(np.asarray, tiny)
     total_live = sum(
         int(hi - lo) for lo, hi in bounds_b
     )
     assert int(ov_t) >= total_live - FACE_CHUNK
+    # the live-drop counter carries the uncovered live candidates (n_live
+    # counts pre-k_max-clip raws, so it is >= the windowed total) and is
+    # exactly the union counter's growth over the uncapped run
+    assert int(ld_t) >= total_live - FACE_CHUNK
+    assert int(ov_t) == int(ov_b) + int(ld_t)
     dropped_has_pad = False
     for s in range(bounds_t.shape[0]):
         lo, hi = bounds_t[s]
@@ -533,7 +555,7 @@ def test_cull_exact_on_closed_mesh():
     )
 
     def run(cull_sign):
-        frags, planes, overflow = rasterize_binned_with_attrs(
+        frags, planes, overflow, _live_drop = rasterize_binned_with_attrs(
             sv, jnp.asarray(faces), 256,
             const_attrs=const_attrs, z_grads=True, emit_frags=True,
             cull_sign=cull_sign,
@@ -599,7 +621,7 @@ def test_bin_faces_large_image_key_packing_cpu():
         ).reshape(f, 9).astype(np.float32)
 
         bounds, fids, coefs, ov = map(
-            np.asarray, _bin_faces(jnp.asarray(tri), f, hw, hw, k_max=256)
+            np.asarray, _bin_faces(jnp.asarray(tri), f, hw, hw, k_max=256)[:4]
         )
         assert int(ov) == 0
         n_col = hw // STRIP_COLS

@@ -36,6 +36,10 @@ def setup():
         img_wh=IMG, projection_type="perspective",
         focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH, render_rgb=True,
         chunk=4096,
+        # run_train.py default: overflow surfaced through the synth batch
+        # and accumulated per epoch by the train loop (always 0 on the
+        # exact CPU/xla backend — the plumbing is what's under test here)
+        emit_overflow=True,
     )
     model = HumaniflowModel(cfg.MODEL)
     params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
@@ -59,6 +63,9 @@ def test_synth_data_generation(setup):
         assert np.isfinite(np.asarray(v)).all(), k
     # the proxy contains heatmap energy for at least some visible joints
     assert float(batch["proxy"][..., 1:].max()) > 0.5
+    # emit_overflow plumbing: scalar int32 key, 0 on the exact xla backend
+    assert batch["binning_overflow"].shape == ()
+    assert int(batch["binning_overflow"]) == 0
     # rendered person composited over background: rgb in [0, 1]
     assert 0.0 <= float(batch["rgb_in"].min()) and float(batch["rgb_in"].max()) <= 1.0
 
