@@ -146,6 +146,20 @@ class HumaniflowModel:
 
     # ------------------------------------------------------------------ init
     def init(self, key, input_shape=(1, 256, 256, 18)):
+        """Initialise the parameter pytree.
+
+        On an accelerator backend the whole init is one jitted program:
+        eager init op-by-op through the tunneled TPU measured 83 s of
+        dispatch round-trips (scripts/profile_cold_start.py), and running it
+        on the host CPU instead stalls on per-conv-op XLA compiles — jitting
+        generates the parameters ON device in one (persistently cached)
+        executable.  The CPU backend keeps the eager path: tests init many
+        tiny model variants and per-variant CPU compiles would dominate."""
+        if jax.default_backend() == "cpu":
+            return self._init_impl(key, input_shape)
+        return jax.jit(self._init_impl, static_argnums=1)(key, tuple(input_shape))
+
+    def _init_impl(self, key, input_shape):
         keys = jax.random.split(key, 8)
         encoder_vars = self.encoder.init(
             keys[0], jnp.zeros(input_shape, jnp.float32), train=False
@@ -237,12 +251,18 @@ class HumaniflowModel:
             lambda a: jnp.tensordot(oh, a, axes=1, precision=hi), params["flows"]
         )
 
-    def _autoregress(self, params, isgc, key=None):
+    def _autoregress(self, params, isgc, key=None, zero_sample0=False):
         """Run the depth-level AR loop.
 
         :param isgc: (..., isgc_dim) — batch shape (B,) for the point
             estimate or (B, N) for samples.
         :param key: PRNG key → rsample; None → flow mode (point estimate).
+        :param zero_sample0: with a key and batch shape (B, N+1), use zero
+            base noise for sample index 0 — its trajectory is then exactly
+            the flow-mode point estimate (mode_estimate == forward(0)), so
+            one fused AR pass serves both.  The noise for samples 1..N is
+            drawn with the same keys/shapes as an unfused (B, N) pass, so
+            the sample stream is unchanged.
         :return: (pose_so3 (..., 23, 3), pose_SO3 (..., 23, 3, 3))
         """
         batch_shape = isgc.shape[:-1]
@@ -256,10 +276,21 @@ class HumaniflowModel:
             if key is None:
                 x = self.flow.mode_estimate(flow_p, ctx)  # (..., P, 3)
             else:
-                z = (
-                    jax.random.normal(level_keys[li], ctx.shape[:-1] + (3,), ctx.dtype)
-                    * self.flow.base_dist_std
-                )
+                z_shape = ctx.shape[:-1] + (3,)
+                if zero_sample0:
+                    noise = jax.random.normal(
+                        level_keys[li],
+                        (z_shape[0], z_shape[1] - 1) + z_shape[2:],
+                        ctx.dtype,
+                    )
+                    z = jnp.concatenate(
+                        [jnp.zeros_like(noise[:, :1]), noise], axis=1
+                    ) * self.flow.base_dist_std
+                else:
+                    z = (
+                        jax.random.normal(level_keys[li], z_shape, ctx.dtype)
+                        * self.flow.base_dist_std
+                    )
                 x = self.flow.forward(flow_p, z, ctx)
             r = so3_exp(x)
             # scatter-free buffer update: one-hot blend over the part axis
@@ -337,15 +368,6 @@ class HumaniflowModel:
         if key is not None:
             key_shape, key_pose = jax.random.split(key)
 
-        if compute_point_est:
-            isgc_pe = self._isgc_feats(params, input_feats, shape_mode, glob_r, cam)
-            pose_so3_pe, pose_rot_pe = self._autoregress(params, isgc_pe, key=None)
-            if not grad_for_pose_point_est:
-                pose_so3_pe = jax.lax.stop_gradient(pose_so3_pe)
-                pose_rot_pe = jax.lax.stop_gradient(pose_rot_pe)
-            out["pose_axisangle_point_est"] = pose_so3_pe
-            out["pose_rotmats_point_est"] = pose_rot_pe
-
         if num_samples > 0:
             assert key is not None, "num_samples > 0 requires a PRNG key"
             if use_shape_mode_for_samples:
@@ -357,10 +379,45 @@ class HumaniflowModel:
                     key_shape, (shape_mode.shape[0], num_samples, n_betas)
                 )
                 shape_samples = shape_mode[:, None] + eps * jnp.exp(shape_log_std)[:, None]
-            isgc_s = self._isgc_feats(params, input_feats, shape_samples, glob_r, cam)
-            _, pose_rot_samples = self._autoregress(params, isgc_s, key=key_pose)
             out["shape_samples"] = shape_samples
-            out["pose_rotmats_samples"] = pose_rot_samples
+
+        if compute_point_est and num_samples > 0:
+            # Fused pass: the point estimate is the zero-noise trajectory
+            # (mode_estimate == forward(0)), so prepend the shape mode as
+            # sample 0 and run ONE (B, N+1) AR pass instead of two.  Cuts
+            # the second 8-level dispatch chain from the inference headline
+            # (scripts/profile_inference_stages.py: the B-sized point-est
+            # pass cost ~as much as the B·N sample pass).
+            shape_all = jnp.concatenate([shape_mode[:, None], shape_samples], axis=1)
+            isgc_all = self._isgc_feats(params, input_feats, shape_all, glob_r, cam)
+            so3_all, rot_all = self._autoregress(
+                params, isgc_all, key=key_pose, zero_sample0=True
+            )
+            pose_so3_pe, pose_rot_pe = so3_all[:, 0], rot_all[:, 0]
+            if not grad_for_pose_point_est:
+                pose_so3_pe = jax.lax.stop_gradient(pose_so3_pe)
+                pose_rot_pe = jax.lax.stop_gradient(pose_rot_pe)
+            out["pose_axisangle_point_est"] = pose_so3_pe
+            out["pose_rotmats_point_est"] = pose_rot_pe
+            out["pose_rotmats_samples"] = rot_all[:, 1:]
+        else:
+            if compute_point_est:
+                isgc_pe = self._isgc_feats(
+                    params, input_feats, shape_mode, glob_r, cam
+                )
+                pose_so3_pe, pose_rot_pe = self._autoregress(params, isgc_pe, key=None)
+                if not grad_for_pose_point_est:
+                    pose_so3_pe = jax.lax.stop_gradient(pose_so3_pe)
+                    pose_rot_pe = jax.lax.stop_gradient(pose_rot_pe)
+                out["pose_axisangle_point_est"] = pose_so3_pe
+                out["pose_rotmats_point_est"] = pose_rot_pe
+
+            if num_samples > 0:
+                isgc_s = self._isgc_feats(
+                    params, input_feats, shape_samples, glob_r, cam
+                )
+                _, pose_rot_samples = self._autoregress(params, isgc_s, key=key_pose)
+                out["pose_rotmats_samples"] = pose_rot_samples
 
         if compute_for_loglik:
             # Teacher forcing: ancestors are ground truth, so all 23 parts'

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+t_import_jax = time.perf_counter() - T0
+
 from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
 
 enable_persistent_compile_cache()
@@ -38,17 +40,33 @@ N_SAMPLES = 10
 
 
 def main():
+    print(f"  import jax           : {t_import_jax:7.2f} s", flush=True)
+    t0 = time.perf_counter()
+    dev = jax.devices()[0]
+    t_devices = time.perf_counter() - t0
+    print(f"  jax.devices() [axon] : {t_devices:7.2f} s   (plugin + tunnel)", flush=True)
+
+    t0 = time.perf_counter()
     from humaniflow_tpu.configs import get_humaniflow_cfg_defaults
     from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
     from humaniflow_tpu.pipelines.evaluate import make_eval_step
+    t_import_pkg = time.perf_counter() - t0
+    print(f"  import humaniflow_tpu: {t_import_pkg:7.2f} s", flush=True)
 
     cfg = get_humaniflow_cfg_defaults()
     model = HumaniflowModel(cfg.MODEL)
+    t0 = time.perf_counter()
     params = model.init(jax.random.PRNGKey(0), input_shape=(1, IMG, IMG, 18))
+    t_model_init = time.perf_counter() - t0
+    print(f"  model.init           : {t_model_init:7.2f} s", flush=True)
+    t0 = time.perf_counter()
     smpl_n = synthetic_smpl(num_verts=6890, seed=0)
     smpl_m = synthetic_smpl(num_verts=6890, seed=1)
     smpl_f = synthetic_smpl(num_verts=6890, seed=2)
+    t_smpl = time.perf_counter() - t0
+    print(f"  synthetic_smpl x3    : {t_smpl:7.2f} s", flush=True)
     t_init = time.perf_counter() - T0
+    print(f"  imports + model init : {t_init:7.2f} s  (total to here)", flush=True)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -73,15 +91,18 @@ def main():
     )
     lowered = step.lower(params, batch, key)
     t_trace = time.perf_counter() - t0
+    print(f"  trace (.lower)       : {t_trace:7.2f} s   (host Python)", flush=True)
 
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
+    print(f"  compile (.compile)   : {t_compile:7.2f} s   (warm = cache load)", flush=True)
 
     t0 = time.perf_counter()
     out = compiled(params, batch, key)
     jax.block_until_ready(out)
     t_first = time.perf_counter() - t0
+    print(f"  first execution      : {t_first:7.2f} s   (incl. input transfer)", flush=True)
 
     t0 = time.perf_counter()
     out = compiled(params, batch, key)
@@ -98,6 +119,13 @@ def main():
         num_samples_for_prob_metrics=N_SAMPLES, sync_every=100,
     )
     pred, target, proxy, extra = out
+    # the eval loop injects the dataset's 2D-keypoint targets host-side
+    # (pipelines/evaluate.py) — mirror that for the J2D metrics
+    target = dict(target)
+    target["joints2D"] = jnp.asarray(
+        rng.uniform(0, IMG, size=(B, 17, 2)).astype(np.float32)
+    )
+    target["joints2D_vis"] = jnp.ones((B, 17), bool)
     t0 = time.perf_counter()
     tracker.update_per_batch(pred, target, B, model_input=proxy)
     jax.block_until_ready(tracker._dev_sums)

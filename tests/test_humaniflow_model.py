@@ -152,6 +152,49 @@ def test_jit_full_forward(model, params):
     assert np.isfinite(np.asarray(out["pose_rotmats_samples"])).all()
 
 
+def test_fused_point_est_matches_separate_passes(model, params):
+    """The fused (B, N+1) AR pass (point estimate as the zero-noise sample 0)
+    must reproduce BOTH the standalone mode-estimate pass and the standalone
+    sample pass's RNG stream exactly (models/humaniflow.py _autoregress
+    zero_sample0)."""
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, IMG, IMG, 18))
+    key = jax.random.PRNGKey(21)
+    fused = model.apply(params, x, key=key, num_samples=4)
+    pe_only = model.apply(params, x, compute_point_est=True, num_samples=0)
+    s_only = model.apply(
+        params, x, key=key, num_samples=4, compute_point_est=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["pose_rotmats_point_est"]),
+        np.asarray(pe_only["pose_rotmats_point_est"]),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["pose_rotmats_samples"]),
+        np.asarray(s_only["pose_rotmats_samples"]),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["shape_samples"]),
+        np.asarray(s_only["shape_samples"]),
+        atol=0,
+    )
+    # also with sampled shapes (use_shape_mode_for_samples=False default) and
+    # shape-mode samples
+    fused2 = model.apply(
+        params, x, key=key, num_samples=3, use_shape_mode_for_samples=True
+    )
+    s2 = model.apply(
+        params, x, key=key, num_samples=3, compute_point_est=False,
+        use_shape_mode_for_samples=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused2["pose_rotmats_samples"]),
+        np.asarray(s2["pose_rotmats_samples"]),
+        atol=2e-6,
+    )
+
+
 def test_input_feats_caching(model, params):
     """The optimise pipeline reruns the heads with cached encoder features
     (reference: optimise_humaniflow.py:96-103)."""
