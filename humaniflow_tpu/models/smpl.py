@@ -150,13 +150,17 @@ def _dp_coherent_vertices(v: int, rng) -> "np.ndarray | None":
     tri = vmap[faces]  # (F, 3) smpl-vertex ids
     e0 = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2], tri[:, 1], tri[:, 2], tri[:, 0]])
     e1 = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0], tri[:, 0], tri[:, 1], tri[:, 2]])
-    deg = np.zeros(v, np.float64)
-    np.add.at(deg, e0, 1.0)
-    deg = np.maximum(deg, 1.0)[:, None]
+    deg = np.maximum(np.bincount(e0, minlength=v).astype(np.float64), 1.0)[:, None]
+    # edge-sorted segment sums: bincount per column is ~40x faster than
+    # np.add.at on this 1-core host (the smoothing loop was the dominant
+    # cold-start cost of synthetic_smpl at V=6890, scripts/profile_cold_start.py)
     pos = rng.normal(size=(v, 3))
     for _ in range(80):
-        acc = np.zeros((v, 3), np.float64)
-        np.add.at(acc, e0, pos[e1])
+        gathered = pos[e1]
+        acc = np.stack(
+            [np.bincount(e0, weights=gathered[:, c], minlength=v) for c in range(3)],
+            axis=1,
+        )
         pos = acc / deg
         pos -= pos.mean(0)
         pos /= np.maximum(np.linalg.norm(pos, axis=1, keepdims=True), 1e-9)
