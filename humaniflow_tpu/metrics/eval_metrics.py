@@ -226,26 +226,44 @@ def compute_batch_metrics(
     return pf, sums
 
 
+def _proxy_joints(proxy):
+    """Input 2D joints + visibility from the proxy representation (joint
+    heatmaps are channels 1..17 of the NHWC proxy)."""
+    if proxy is None:
+        return None, None
+    heatmaps = jnp.moveaxis(proxy[..., 1:], -1, 1)
+    return convert_heatmaps_to_2d_joints_coordinates(
+        heatmaps, gaussian_heatmaps=True
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("metrics", "num_samples", "sum_keys", "pf_keys"),
 )
-def _compute_batch_metrics_packed(
-    metrics, pred, target, input_joints2d, input_joints2d_vis, num_samples,
-    sum_keys, pf_keys, prev_sums,
+def _update_step(
+    metrics, pred, target, proxy, num_samples, sum_keys, pf_keys, prev_sums,
 ):
-    """compute_batch_metrics + packing + running-sum accumulation as ONE
-    jitted program: the tracker's steady-state per-batch device work is a
-    single launch (separate eager stack/add ops each pay a device-server
-    launch through the tunnel — ~3 launches/batch measured as the residual
-    spread in the staged protocol benchmark)."""
+    """The tracker's WHOLE per-batch device work as ONE jitted program:
+    proxy→input-joints conversion, compute_batch_metrics, packing, and
+    running-sum accumulation.  Separate eager stack/add/moveaxis ops each
+    pay a device-server launch through the tunnel — ~3 launches/batch
+    measured as the residual spread in the staged protocol benchmark."""
+    input_j2d, input_vis = _proxy_joints(proxy)
     pf, sums = compute_batch_metrics.__wrapped__(
-        metrics, pred, target, input_joints2d, input_joints2d_vis, num_samples
+        metrics, pred, target, input_j2d, input_vis, num_samples
     )
     svec = jnp.stack([sums[k] for k in sum_keys]).astype(jnp.float32)
     svec = svec + prev_sums
     pfmat = jnp.stack([pf[k] for k in pf_keys]) if pf_keys else None
     return pfmat, svec
+
+
+def _avals_key(pred, target, proxy):
+    """Hashable (treedef, shapes, dtypes) key for the AOT-compiled kernel.
+    Works for concrete arrays and jax.ShapeDtypeStruct alike."""
+    leaves, treedef = jax.tree_util.tree_flatten((pred, target, proxy))
+    return (str(treedef), tuple((l.shape, str(l.dtype)) for l in leaves))
 
 
 class EvalMetricsTracker:
@@ -274,6 +292,9 @@ class EvalMetricsTracker:
         self.save_per_frame_metrics = save_per_frame_metrics
         self.num_samples_for_prob_metrics = num_samples_for_prob_metrics
         self.sync_every = max(int(sync_every), 1)
+        # AOT-compiled update kernel (warm_async): (avals key, compiled)
+        self._aot = None
+        self._warm_thread = None
         self.initialise_metric_sums()
         self.initialise_per_frame_metric_lists()
 
@@ -341,51 +362,93 @@ class EvalMetricsTracker:
         if self._dev_sums is not None or self._pending_pf:
             jax.block_until_ready((self._dev_sums, self._pending_pf))
 
+    def _discover_keys(self, pred, target, proxy):
+        """Learn the (deterministic, metric-set-dependent) sum/per-frame key
+        order by ABSTRACT tracing only — jax.eval_shape never compiles or
+        executes.  Running the jitted dict-output kernel for discovery
+        instead cost ~14 s of trace+compile+tunnel-execute at the 3DPW
+        protocol shape (scripts/profile_cold_start.py)."""
+        pf_s, sums_s = jax.eval_shape(
+            lambda p, t, x: compute_batch_metrics.__wrapped__(
+                self.metrics_to_track, p, t, *_proxy_joints(x),
+                self.num_samples_for_prob_metrics,
+            ),
+            pred, target, proxy,
+        )
+        self._sum_keys = tuple(sorted(sums_s))
+        self._pf_keys = tuple(sorted(pf_s))
+
+    def warm(self, pred_shapes, target_shapes, proxy_shapes):
+        """AOT-compile the per-batch update kernel from ShapeDtypeStructs
+        (no data, no execution).  ``update_per_batch`` then dispatches the
+        compiled executable directly whenever its input avals match — and
+        falls back to the ordinary jit path (correct, just slower on first
+        use) whenever they don't."""
+        self._discover_keys(pred_shapes, target_shapes, proxy_shapes)
+        prev_s = jax.ShapeDtypeStruct((len(self._sum_keys),), jnp.float32)
+        compiled = _update_step.lower(
+            self.metrics_to_track, pred_shapes, target_shapes, proxy_shapes,
+            self.num_samples_for_prob_metrics,
+            self._sum_keys, self._pf_keys, prev_s,
+        ).compile()
+        self._aot = (_avals_key(pred_shapes, target_shapes, proxy_shapes),
+                     compiled)
+
+    def warm_async(self, pred_shapes, target_shapes, proxy_shapes):
+        """``warm`` on a daemon thread, so the metric kernel's trace+compile
+        overlaps the eval step's own first-batch compile (both are mostly
+        GIL-releasing backend waits; the overlap removes the metric kernel
+        from the cold-start critical path — scripts/profile_cold_start.py).
+        Failures are swallowed: the jit path remains the fallback."""
+        import threading
+
+        def _work():
+            try:
+                self.warm(pred_shapes, target_shapes, proxy_shapes)
+            except Exception:
+                self._aot = None
+
+        self._warm_thread = threading.Thread(target=_work, daemon=True)
+        self._warm_thread.start()
+
     def update_per_batch(
         self, pred_dict, target_dict, batch_size, model_input=None,
         return_per_frame_metrics=False,
     ):
         self.num_total_test_data += batch_size
-        input_j2d = input_vis = None
-        if model_input is not None:
-            # joint heatmaps are channels 1..17 of the proxy (NHWC → transpose)
-            heatmaps = jnp.moveaxis(model_input[..., 1:], -1, 1)
-            input_j2d, input_vis = convert_heatmaps_to_2d_joints_coordinates(
-                heatmaps, gaussian_heatmaps=True
-            )
+        if self._warm_thread is not None:
+            self._warm_thread.join()
+            self._warm_thread = None
         if self._sum_keys is None:
-            # first batch: run the dict-output kernel once to learn the
-            # (deterministic, metric-set-dependent) key order, then pack
-            # eagerly; later batches use the fused packed kernel
-            pf, sums = compute_batch_metrics(
-                self.metrics_to_track, pred_dict, target_dict,
-                input_j2d, input_vis, self.num_samples_for_prob_metrics,
-            )
-            self._sum_keys = tuple(sorted(sums))
-            self._pf_keys = tuple(sorted(pf))
-            # Count sums (int32 IOU pixel counts) ride in f32: per-flush
-            # magnitudes stay ≤ ~2e9 where f32's ~1e-7 relative rounding is
-            # far below metric resolution, and f32 also removes the int32
-            # overflow risk of summing counts over a window.
-            svec = jnp.stack(
-                [sums[k] for k in self._sum_keys]
-            ).astype(jnp.float32)
-            pfmat = (
-                jnp.stack([pf[k] for k in self._pf_keys])
-                if self._pf_keys else None
-            )
-            self._dev_sums = (
-                svec if self._dev_sums is None else self._dev_sums + svec
-            )
-        else:
-            prev = (
-                self._dev_sums
-                if self._dev_sums is not None
-                else jnp.zeros((len(self._sum_keys),), jnp.float32)
-            )
-            pfmat, self._dev_sums = _compute_batch_metrics_packed(
-                self.metrics_to_track, pred_dict, target_dict,
-                input_j2d, input_vis, self.num_samples_for_prob_metrics,
+            self._discover_keys(pred_dict, target_dict, model_input)
+        # Count sums (int32 IOU pixel counts) ride in f32 in the packed
+        # vector: per-flush magnitudes stay ≤ ~2e9 where f32's ~1e-7
+        # relative rounding is far below metric resolution, and f32 also
+        # removes the int32 overflow risk of summing counts over a window.
+        prev = (
+            self._dev_sums
+            if self._dev_sums is not None
+            else jnp.zeros((len(self._sum_keys),), jnp.float32)
+        )
+        pfmat = None
+        done = False
+        if (
+            self._aot is not None
+            and self._aot[0] == _avals_key(pred_dict, target_dict, model_input)
+        ):
+            try:
+                pfmat, self._dev_sums = self._aot[1](
+                    pred_dict, target_dict, model_input, prev
+                )
+                done = True
+            except ValueError:
+                # e.g. input shardings disagree with what the executable
+                # was compiled for — the jit path below handles any input
+                self._aot = None
+        if not done:
+            pfmat, self._dev_sums = _update_step(
+                self.metrics_to_track, pred_dict, target_dict, model_input,
+                self.num_samples_for_prob_metrics,
                 self._sum_keys, self._pf_keys, prev,
             )
         if pfmat is not None:

@@ -140,13 +140,15 @@ def _dp_coherent_vertices(v: int, rng) -> "np.ndarray | None":
     if v != 6890:
         return None
     try:
-        from ..render.renderer import load_densepose_uv
+        # host loader: np.asarray on the device copies costs 30-200 s per
+        # call through the tunneled TPU (scripts/profile_cold_start.py)
+        from ..render.renderer import load_densepose_uv_host
 
-        dp = load_densepose_uv(None)
+        dp = load_densepose_uv_host(None)
     except Exception:
         return None
-    faces = np.asarray(dp["faces"])
-    vmap = np.asarray(dp["vertex_map"])
+    faces = dp["faces"]
+    vmap = dp["vertex_map"]
     tri = vmap[faces]  # (F, 3) smpl-vertex ids
     e0 = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2], tri[:, 1], tri[:, 2], tri[:, 0]])
     e1 = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0], tri[:, 0], tri[:, 1], tri[:, 2]])

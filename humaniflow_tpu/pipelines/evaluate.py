@@ -437,6 +437,70 @@ def evaluate_humaniflow(
             key_pool.extend(ks[1:])
         return key_pool.pop()
 
+    def _spawn_metric_warm(prepared, sub):
+        """Start the tracker's AOT metric-kernel compile on a thread, with
+        input avals mirrored from eval_shape of the eval step (abstract —
+        nothing executes).  It overlaps the eval step's own first-batch
+        trace+compile (mostly GIL-releasing backend waits), taking the
+        metric kernel's ~10 s off the cold-start critical path
+        (scripts/profile_cold_start.py).  Any mirroring mismatch just means
+        the tracker falls back to its ordinary jit path."""
+        import threading
+
+        def _work():
+            try:
+                b = prepared["b"]
+                pred_s, target_s, proxy_s, extra_s = jax.eval_shape(
+                    eval_step, params, prepared["dev_batch"], sub
+                )
+                if mesh is not None:
+                    trim_s = lambda t: jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(
+                            (b,) + a.shape[1:], a.dtype
+                        ),
+                        t,
+                    )
+                    pred_s, target_s, proxy_s = (
+                        trim_s(pred_s), trim_s(target_s), trim_s(proxy_s),
+                    )
+                    extra_s = trim_s(extra_s)
+                target_s = dict(target_s)
+                j2d = prepared["joints2D"]
+                if compute_joints2d and j2d is not None:
+                    target_s["joints2D"] = jax.ShapeDtypeStruct(
+                        j2d.shape, j2d.dtype
+                    )
+                    vis = prepared["joints2D_visib"]
+                    if vis is not None:
+                        target_s["joints2D_vis"] = jax.ShapeDtypeStruct(
+                            vis.shape, vis.dtype
+                        )
+                sil_t = prepared["silhouette"]
+                if compute_silhouettes and renderer is not None and sil_t is not None:
+                    sil_s, _ = jax.eval_shape(
+                        renderer.render_silhouette_with_overflow,
+                        extra_s["verts_flipped_point_est"], extra_s["cam_wp"],
+                    )
+                    pred_s = dict(pred_s)
+                    pred_s["silhouettes"] = sil_s
+                    target_s["silhouettes"] = jax.ShapeDtypeStruct(
+                        sil_t.shape, sil_t.dtype
+                    )
+                    if compute_sil_samples and compute_samples:
+                        pred_s["silhouettessamples"] = jax.eval_shape(
+                            lambda v, c: _render_sample_silhouettes(
+                                renderer, v, c, chunk=silhouette_sample_chunk
+                            )[0],
+                            pred_s["verts3D_samples"], extra_s["cam_wp"],
+                        )
+                tracker.warm(pred_s, target_s, proxy_s)
+            except Exception:
+                tracker._aot = None
+
+        tracker._warm_thread = threading.Thread(target=_work, daemon=True)
+        tracker._warm_thread.start()
+
+    first_batch = True
     for item in source:
         if batch_times is not None:
             import time as _time
@@ -451,6 +515,13 @@ def evaluate_humaniflow(
         j2d_vis = prepared["joints2D_visib"]
         silhouette_target = prepared["silhouette"]
         sub = next_key()
+        if first_batch:
+            first_batch = False
+            # mesh path excluded: the AOT kernel is compiled for default
+            # (single-device) input shardings, and mesh-sharded outputs
+            # would be rejected at dispatch
+            if mesh is None:
+                _spawn_metric_warm(prepared, sub)
         pred, target, proxy, extra = eval_step(params, dev_batch, sub)
         if mesh is not None:
             # drop padded rows before metric accumulation

@@ -6,7 +6,12 @@ from .rasterizer import (
     project_perspective_screen,
     rasterize,
 )
-from .renderer import DEFAULT_LIGHTS, TexturedIUVRenderer, load_densepose_uv
+from .renderer import (
+    DEFAULT_LIGHTS,
+    TexturedIUVRenderer,
+    load_densepose_uv,
+    load_densepose_uv_host,
+)
 
 __all__ = [
     "Fragments",
@@ -18,4 +23,5 @@ __all__ = [
     "DEFAULT_LIGHTS",
     "TexturedIUVRenderer",
     "load_densepose_uv",
+    "load_densepose_uv_host",
 ]

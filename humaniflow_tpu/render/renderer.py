@@ -19,6 +19,7 @@ x-axis-π rotation exactly as the reference does before rendering.
 """
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, Optional
 
 import jax
@@ -34,8 +35,21 @@ from .rasterizer import (
 )
 
 
+def load_densepose_uv_host(mat_path: Optional[str] = None):
+    """Host (numpy) DensePose UV data — computed once per process, no device
+    involvement.
+
+    Host-side consumers (synthetic-SMPL template construction, test setup)
+    must use THIS loader: reading the device copies back with ``np.asarray``
+    costs 30–200 s through the benchmark environment's tunneled TPU even for
+    these ~200 KB tables (scripts/profile_cold_start.py — it was the
+    dominant term of every CLI's cold start).
+    """
+    return dict(_densepose_uv_host(mat_path or paths.DENSEPOSE_UV))
+
+
 def load_densepose_uv(mat_path: Optional[str] = None):
-    """Load DensePose UV processing data (texture atlas layout).
+    """Load DensePose UV processing data (texture atlas layout) on device.
 
     :return: dict with faces (13774, 3) into 7829 DP verts, vertex_map
         (7829,) into 6890 SMPL verts, face_part (13774,), u/v (7829,) in
@@ -43,9 +57,14 @@ def load_densepose_uv(mat_path: Optional[str] = None):
         atlas (800×1200), matching the reference's offset_uv preprocessing
         (pytorch3d_textured_renderer.py:39-70).
     """
+    host = _densepose_uv_host(mat_path or paths.DENSEPOSE_UV)
+    return {k: jnp.asarray(v) for k, v in host.items()}
+
+
+@lru_cache(maxsize=4)
+def _densepose_uv_host(mat_path: str):
     from scipy.io import loadmat
 
-    mat_path = mat_path or paths.DENSEPOSE_UV
     m = loadmat(mat_path)
     faces = np.asarray(m["All_Faces"], np.int64) - 1          # (13774, 3)
     vertex_map = np.asarray(m["All_vertices"], np.int64)[0] - 1  # (7829,)
@@ -67,17 +86,17 @@ def load_densepose_uv(mat_path: Optional[str] = None):
     atlas_v = (row + (1.0 - v)) / 6.0  # in [0, 1] over atlas height
 
     return {
-        "faces": jnp.asarray(faces, jnp.int32),
-        "vertex_map": jnp.asarray(vertex_map, jnp.int32),
-        "face_part": jnp.asarray(face_part, jnp.int32),
-        "u": jnp.asarray(u, jnp.float32),
-        "v": jnp.asarray(v, jnp.float32),
-        "atlas_u": jnp.asarray(atlas_u, jnp.float32),
-        "atlas_v": jnp.asarray(atlas_v, jnp.float32),
+        "faces": np.asarray(faces, np.int32),
+        "vertex_map": np.asarray(vertex_map, np.int32),
+        "face_part": np.asarray(face_part, np.int32),
+        "u": np.asarray(u, np.float32),
+        "v": np.asarray(v, np.float32),
+        "atlas_u": np.asarray(atlas_u, np.float32),
+        "atlas_v": np.asarray(atlas_v, np.float32),
         # face-centroid atlas UV (faces never span part tiles, so the mean
         # stays inside the face's tile) — texture_sampling="face" lookups
-        "face_atlas_u": jnp.asarray(atlas_u[faces].mean(1), jnp.float32),
-        "face_atlas_v": jnp.asarray(atlas_v[faces].mean(1), jnp.float32),
+        "face_atlas_u": np.asarray(atlas_u[faces].mean(1), np.float32),
+        "face_atlas_v": np.asarray(atlas_v[faces].mean(1), np.float32),
     }
 
 

@@ -109,8 +109,11 @@ def main():
     jax.block_until_ready(out)
     t_steady = time.perf_counter() - t0
 
-    # the metric kernel's two first batches (dict-output then fused packed
-    # program — tracker semantics, metrics/eval_metrics.py)
+    # the metric kernel's first two batches (batch 1 pays eval_shape key
+    # discovery + the packed _update_step trace+compile; batch 2 is the
+    # steady state — metrics/eval_metrics.py.  evaluate_humaniflow hides
+    # batch 1's cost behind the eval-step compile via tracker.warm_async;
+    # this script measures the UNOVERLAPPED cost of each stage.)
     from humaniflow_tpu.metrics.eval_metrics import EvalMetricsTracker
     from humaniflow_tpu.pipelines.protocols import EVAL_METRICS_3DPW
 
@@ -141,8 +144,8 @@ def main():
     print(f"  compile (.compile)   : {t_compile:7.2f} s   (warm = cache load)")
     print(f"  first execution      : {t_first:7.2f} s   (incl. input transfer)")
     print(f"  steady execution     : {t_steady:7.2f} s")
-    print(f"  metric batch 1 (dict): {t_metric1:7.2f} s   (trace+compile)")
-    print(f"  metric batch 2 (pack): {t_metric2:7.2f} s   (trace+compile)")
+    print(f"  metric batch 1 (warm): {t_metric1:7.2f} s   (trace+compile)")
+    print(f"  metric batch 2 (stdy): {t_metric2:7.2f} s   (trace+compile)")
     total = t_init + t_trace + t_compile + t_first + t_metric1 + t_metric2
     print(f"  -> cold-start total  : {total:7.2f} s")
 
