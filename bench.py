@@ -390,6 +390,20 @@ def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
         batch_size=BATCH, num_pred_samples=n_samples, renderer=renderer,
         batch_times=warmup_t,
     )
+    # first-batch decomposition: what of warmup_t[0] was the eval-step /
+    # metric-kernel build, and whether each came from the persistent
+    # EXECUTABLE cache (deserialize — what a repeat CLI invocation pays)
+    # or a fresh trace+compile (first-ever run at this code state)
+    from humaniflow_tpu.utils import aot_cache
+
+    first_batch_split = {
+        k: {
+            "event": v.get("event"),
+            "seconds": round(float(v.get("seconds", 0.0)), 2),
+        }
+        for k, v in aot_cache.STATS.items()
+        if k in ("eval_step", "metric_update")
+    }
 
     # sync_every > n_batches: the timed window holds dispatches + the
     # device-compute drain only; the single metrics fetch (one tunnel
@@ -397,12 +411,13 @@ def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
     # the untimed final reduction — a fixed per-run cost that amortizes
     # to zero over a real dataset (the CLI default stays sync_every=8
     # for operator-visible overflow warnings)
-    # 3 timed repeats, median by total wall: the residual per-run noise is
-    # a 0-0.6 s tunnel-completion-ack jitter on the drain, so a single
-    # draw can still spread ~2x; the median of 3 is stable across driver
-    # runs (each repeat costs ~1 s at 3DPW scale, ~35 s at SSP-3D scale)
+    # 3 timed repeats, median by total wall, for BOTH protocols: the
+    # residual per-run noise is a 0-0.6 s tunnel-completion-ack jitter on
+    # the drain, so a single draw can still spread ~2x; the median of 3 is
+    # stable across driver runs (each repeat costs ~1 s at 3DPW scale,
+    # ~35 s at SSP-3D scale — the honest median is worth the 35 s)
     n_batches = 27 if protocol == "3dpw" else 14
-    n_repeats = 3 if protocol == "3dpw" else 2
+    n_repeats = 3
     runs = []
     for _ in range(n_repeats):
         times = []
@@ -414,7 +429,7 @@ def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
         )
         runs.append(times)
     runs.sort(key=lambda t: float(np.sum(t[1:])))
-    times = runs[(len(runs) - 1) // 2]  # median of 3 / best of 2
+    times = runs[(len(runs) - 1) // 2]  # median of 3
     steady = float(np.sum(times[1:]) / (len(times) - 1))
 
     # secondary: streamed (host assembly + tunnel transfer on the clock);
@@ -433,6 +448,7 @@ def bench_eval_protocol(cfg, model, params, protocol="ssp3d"):
         "sec_per_batch_median": round(float(np.median(times[1:])), 4),
         "num_batches_measured": len(times) - 1,
         "first_batch_sec": round(warmup_t[0], 2),
+        "first_batch_split": first_batch_split,
         "images_per_sec_streamed": round(BATCH / steady_s, 2),
         "streamed_note": "includes host->device transfer over the "
         "benchmark tunnel (bandwidth varies ~10x run-to-run)",

@@ -294,7 +294,12 @@ class EvalMetricsTracker:
         self.sync_every = max(int(sync_every), 1)
         # AOT-compiled update kernel (warm_async): (avals key, compiled)
         self._aot = None
+        self._aot_validate = False
         self._warm_thread = None
+        # observability: update_per_batch calls dispatched through the AOT
+        # executable (vs the jit fallback) — lets tests/operators assert
+        # the fast path actually hit instead of silently regressing
+        self._aot_hits = 0
         self.initialise_metric_sums()
         self.initialise_per_frame_metric_lists()
 
@@ -386,11 +391,29 @@ class EvalMetricsTracker:
         use) whenever they don't."""
         self._discover_keys(pred_shapes, target_shapes, proxy_shapes)
         prev_s = jax.ShapeDtypeStruct((len(self._sum_keys),), jnp.float32)
-        compiled = _update_step.lower(
+        lower_args = (
             self.metrics_to_track, pred_shapes, target_shapes, proxy_shapes,
             self.num_samples_for_prob_metrics,
             self._sum_keys, self._pf_keys, prev_s,
-        ).compile()
+        )
+        # persistent executable cache first (repeat CLI invocations skip
+        # the trace+compile entirely — utils/aot_cache.py); fall back to a
+        # fresh in-process AOT compile
+        from ..utils import aot_cache
+
+        compiled = aot_cache.cached_compile(
+            _update_step, "metric_update", *lower_args
+        )
+        # a DESERIALIZED executable must prove itself on first dispatch —
+        # XLA can surface load problems lazily in the output buffers
+        # (aot_cache module docstring); a fresh compile is trusted
+        self._aot_validate = (
+            compiled is not None
+            and aot_cache.STATS.get("metric_update", {}).get("event")
+            == "deserialize"
+        )
+        if compiled is None:
+            compiled = _update_step.lower(*lower_args).compile()
         self._aot = (_avals_key(pred_shapes, target_shapes, proxy_shapes),
                      compiled)
 
@@ -437,13 +460,28 @@ class EvalMetricsTracker:
             and self._aot[0] == _avals_key(pred_dict, target_dict, model_input)
         ):
             try:
-                pfmat, self._dev_sums = self._aot[1](
+                pfmat, dev_sums = self._aot[1](
                     pred_dict, target_dict, model_input, prev
                 )
+                if self._aot_validate:
+                    # first dispatch of a disk-loaded executable: force the
+                    # (tiny) sums buffer so a poisoned entry raises HERE,
+                    # not at a distant flush (costs one RTT, once)
+                    jax.block_until_ready(dev_sums)
+                    self._aot_validate = False
+                self._dev_sums = dev_sums
                 done = True
-            except ValueError:
-                # e.g. input shardings disagree with what the executable
-                # was compiled for — the jit path below handles any input
+                self._aot_hits += 1
+            except Exception:
+                # sharding disagreement at dispatch (ValueError), or a
+                # poisoned deserialized entry (validation block) — drop it,
+                # delete the disk entry, recompute below via jit from the
+                # unchanged `prev`
+                if self._aot_validate:
+                    from ..utils.aot_cache import invalidate
+
+                    invalidate("metric_update")
+                    self._aot_validate = False
                 self._aot = None
         if not done:
             pfmat, self._dev_sums = _update_step(

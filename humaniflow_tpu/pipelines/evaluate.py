@@ -81,6 +81,30 @@ def make_eval_step(
         model, smpl_neutral, smpl_male, smpl_female, cfg,
         num_pred_samples, compute_samples, compute_joints2d,
     )
+    # Persistent AOT executable cache: a repeat CLI invocation deserializes
+    # the compiled eval-step executable instead of re-tracing + re-loading
+    # it through the device tunnel (25-54 s/process — utils/aot_cache.py).
+    # The SMPL models are CLOSED OVER in the trace, so their content is
+    # part of the disk key; params/batch/key are arguments (avals only).
+    from ..utils.aot_cache import (
+        PersistentExecutable,
+        arrays_fingerprint,
+        cache_enabled,
+    )
+
+    if cache_enabled():
+        try:
+            fp = arrays_fingerprint((smpl_neutral, smpl_male, smpl_female))
+            # key[4:] = the stable config slice of the memo key (ids
+            # dropped); repr(cfg.MODEL) adds trace-baked floats (e.g.
+            # COMPACT_SUPPORT_RADIUS) that identical avals would collide on
+            step = PersistentExecutable(
+                step, "eval_step",
+                static_key=key[4:] + (repr(cfg.MODEL),),
+                consts_fingerprint=fp,
+            )
+        except Exception:
+            pass  # fail-open: plain jit path
     _EVAL_STEP_CACHE[key] = (step, model, smpl_neutral, smpl_male, smpl_female)
     return step
 
@@ -450,8 +474,11 @@ def evaluate_humaniflow(
         def _work():
             try:
                 b = prepared["b"]
+                # eval_shape must trace the underlying jit function — a
+                # PersistentExecutable wrapper is not abstractly traceable
+                step_fn = getattr(eval_step, "_jitted", eval_step)
                 pred_s, target_s, proxy_s, extra_s = jax.eval_shape(
-                    eval_step, params, prepared["dev_batch"], sub
+                    step_fn, params, prepared["dev_batch"], sub
                 )
                 if mesh is not None:
                     trim_s = lambda t: jax.tree_util.tree_map(

@@ -162,6 +162,31 @@ def make_predict_fn(
             "vertex_uncertainty_directional": directional_std,
         }
 
+    # persistent AOT executable cache (single-device path): repeat CLI
+    # invocations deserialize the compiled program instead of re-tracing
+    # (utils/aot_cache.py; the SMPL model is closed over → content-keyed)
+    if mesh is None:
+        from ..utils.aot_cache import (
+            PersistentExecutable,
+            arrays_fingerprint,
+            cache_enabled,
+        )
+
+        if cache_enabled():
+            try:
+                # repr(cfg.MODEL) is a deterministic dataclass repr — it
+                # captures trace-baked floats (e.g. COMPACT_SUPPORT_RADIUS)
+                # that identical avals would otherwise collide on
+                predict = PersistentExecutable(
+                    predict, "predict_fn",
+                    static_key=(
+                        num_samples, use_shape_mode_for_samples,
+                        repr(cfg.MODEL),
+                    ),
+                    consts_fingerprint=arrays_fingerprint(smpl),
+                )
+            except Exception:
+                pass
     _PREDICT_FN_CACHE[cache_key] = (predict, model, smpl, mesh)
     return predict
 

@@ -28,6 +28,17 @@ def main():
                              "per-pixel coverage scan instead of the binned "
                              "kernel (bit-exact, ~3x slower; use when the "
                              "overflow warning fires)")
+    parser.add_argument("--sync_every", type=int, default=8,
+                        help="metric device->host sync cadence in batches "
+                             "(default 8; each sync pays one host RTT — "
+                             "raise over slow links, 1 restores per-batch "
+                             "syncs and per-batch overflow warnings)")
+    parser.add_argument("--pre_stage", action="store_true",
+                        help="transfer the whole dataset into device memory "
+                             "before the eval loop (decouples throughput "
+                             "from host->device link bandwidth; costs the "
+                             "full dataset in HBM — benchmark-sized "
+                             "datasets only)")
     args = parser.parse_args()
 
     from humaniflow_tpu.utils.compile_cache import enable_persistent_compile_cache
@@ -94,7 +105,7 @@ def main():
         model, params, smpl_neutral, smpl_male, smpl_female, cfg, dataset,
         metrics, batch_size=args.batch_size, num_pred_samples=args.num_samples,
         save_path=save_path, save_per_frame_metrics=True, renderer=renderer,
-        mesh=mesh,
+        mesh=mesh, sync_every=args.sync_every, pre_stage=args.pre_stage,
     )
     print(final)
 
