@@ -49,18 +49,20 @@ def _rel_err(a, b):
     return np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
 
 
-def test_day0_tar_pth_convert_cli_roundtrip(tmp_path, monkeypatch):
-    import importlib
-
+def _fabricate_humaniflow_tar(tmp_path):
+    """Build the REAL reference `HumaniflowModel` (under the pyro stub) and
+    write its `.tar` training checkpoint in the reference save-dict layout
+    (`train/train_humaniflow.py:390-398`).  `model_state_dict` is a
+    PERTURBED copy while `best_model_state_dict` holds the true weights —
+    CLI outputs matching the torch model prove the loader picked
+    `best_model_state_dict` exactly like the reference
+    (`scripts/run_evaluate.py:64`, `run_optimise.py:53`, strict=True).
+    Returns (torch model, tar path)."""
     from models.humaniflow_model import HumaniflowModel as RefHumaniflowModel
-    from models.pose2D_hrnet import PoseHighResolutionNet as RefHRNet
-    from test_reference_flow_parity import _ref_model_cfg
-    from test_reference_parity import W48_CFG
 
-    import humaniflow_tpu.models as M
     from humaniflow_tpu.models.smpl import SMPL_PARENTS
+    from test_reference_flow_parity import _ref_model_cfg
 
-    # ---------- fabricate the reference's exact on-disk formats ----------
     ref_cfg, _ = _ref_model_cfg()
     torch.manual_seed(0)
     tm = RefHumaniflowModel(
@@ -76,18 +78,38 @@ def test_day0_tar_pth_convert_cli_roundtrip(tmp_path, monkeypatch):
                 buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
     tm.eval()
 
+    best_sd = tm.state_dict()
+    last_sd = {k: v.clone() for k, v in best_sd.items()}
+    with torch.no_grad():
+        for v in last_sd.values():
+            if v.is_floating_point():
+                v.mul_(1.5).add_(0.05)
+
     tar_path = str(tmp_path / "humaniflow_weights.tar")
     torch.save(
         {
             "epoch": 5,
             "best_epoch": 4,
             "best_epoch_val_metrics": {"PVE-SC": 0.0712},
-            "model_state_dict": tm.state_dict(),
-            "best_model_state_dict": tm.state_dict(),
+            "model_state_dict": last_sd,
+            "best_model_state_dict": best_sd,
             "optimiser_state_dict": {},
         },
         tar_path,
     )
+    return tm, tar_path
+
+
+def test_day0_tar_pth_convert_cli_roundtrip(tmp_path, monkeypatch):
+    import importlib
+
+    from models.pose2D_hrnet import PoseHighResolutionNet as RefHRNet
+    from test_reference_parity import W48_CFG
+
+    import humaniflow_tpu.models as M
+
+    # ---------- fabricate the reference's exact on-disk formats ----------
+    tm, tar_path = _fabricate_humaniflow_tar(tmp_path)
 
     torch.manual_seed(2)
     hrnet_torch = RefHRNet(W48_CFG)
@@ -166,3 +188,149 @@ def test_day0_tar_pth_convert_cli_roundtrip(tmp_path, monkeypatch):
             )
             < 5e-4
         )
+
+
+def test_day0_tar_evaluate_cli(tmp_path, monkeypatch):
+    """Day-0 slice for `run_evaluate` (VERDICT r4 item 5): fabricated
+    real-format `.tar` → `run_evaluate.main()` on a fabricated 3DPW
+    directory.  Asserts (a) the CLI's converted params reproduce the
+    stub-torch reference model's own forward, (b) `best_model_state_dict`
+    (not `model_state_dict`) was loaded — reference `run_evaluate.py:64`
+    strict-load semantics — and (c) the metric protocol completes with
+    finite per-frame dumps."""
+    pytest.importorskip("cv2")
+    import importlib
+
+    import jax.numpy as jnp
+
+    import humaniflow_tpu.models as M
+    from humaniflow_tpu.configs import get_humaniflow_cfg_defaults, paths
+    from humaniflow_tpu.models import HumaniflowModel, synthetic_smpl
+    from humaniflow_tpu.utils.convert_torch import (
+        convert_humaniflow_checkpoint,
+        convert_humaniflow_file,
+    )
+    from test_evaluate import _build_pw3d_dir
+
+    tm, tar_path = _fabricate_humaniflow_tar(tmp_path)
+
+    cfg = get_humaniflow_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = IMG
+    model = HumaniflowModel(cfg.MODEL)
+
+    # (a)+(b): the file loader must yield exactly the converted BEST dict...
+    params = convert_humaniflow_file(tar_path, model)
+    want_params = convert_humaniflow_checkpoint(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()}, model
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, want_params,
+    )
+    # ...and its forward must equal the torch model's (the perturbed
+    # `model_state_dict` would be ~1.5x off)
+    proxy = np.random.default_rng(3).normal(size=(1, IMG, IMG, 18)).astype(np.float32)
+    got = model.apply(params, jnp.asarray(proxy))
+    with torch.no_grad():
+        want = tm(
+            torch.tensor(proxy.transpose(0, 3, 1, 2)),
+            compute_point_est=True,
+            num_samples=0,
+        )
+    assert _rel_err(got["cam_wp"], want["cam_wp"].numpy()) < 2e-4
+    assert (
+        _rel_err(
+            got["pose_rotmats_point_est"],
+            want["pose_rotmats_point_est"].numpy(),
+        )
+        < 5e-4
+    )
+
+    # (c): the full eval CLI consumes the tar directly
+    root = str(tmp_path / "pw3d")
+    os.makedirs(root)
+    _build_pw3d_dir(root)
+    monkeypatch.setattr(paths, "PW3D_PATH", root)
+    monkeypatch.setattr(
+        M, "load_smpl_npz", lambda *a, **k: synthetic_smpl(num_verts=64)
+    )
+    cfg_path = tmp_path / "small.yaml"
+    cfg_path.write_text(f"DATA:\n  PROXY_REP_SIZE: {IMG}\n")
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    run_evaluate = importlib.import_module("run_evaluate")
+    out_dir = tmp_path / "eval_out"
+    monkeypatch.setattr(sys, "argv", [
+        "run_evaluate.py", "-D", "3dpw", "-C", tar_path, "-B", "2", "-N", "2",
+        "-S", str(out_dir), "--cfg", str(cfg_path),
+    ])
+    run_evaluate.main()
+    pve = np.load(out_dir / "PVE_per_frame.npy")
+    assert pve.shape == (4,) and np.isfinite(pve).all()
+
+
+def test_day0_tar_optimise_cli(tmp_path, monkeypatch):
+    """Day-0 slice for `run_optimise` (VERDICT r4 item 5): fabricated `.tar`
+    → `run_optimise.main()` on fabricated predict-stage outputs.  The CLI
+    loads `best_model_state_dict` via the same strict converter (asserted
+    exactly in test_day0_tar_evaluate_cli); here the flow-prior refinement
+    must run end-to-end from the real-format file and write finite refined
+    parameters that moved from the init."""
+    pytest.importorskip("cv2")
+    import importlib
+
+    import cv2
+
+    import humaniflow_tpu.models as M
+    from humaniflow_tpu.models import synthetic_smpl
+
+    _, tar_path = _fabricate_humaniflow_tar(tmp_path)
+    monkeypatch.setattr(
+        M, "load_smpl_npz", lambda *a, **k: synthetic_smpl(num_verts=64)
+    )
+
+    img_dir = tmp_path / "imgs"
+    pred_dir = tmp_path / "pred"
+    img_dir.mkdir()
+    pred_dir.mkdir()
+    rng = np.random.default_rng(5)
+    init_pose = rng.normal(scale=0.2, size=(2, 23, 3)).astype(np.float32)
+    for i in range(2):
+        cv2.imwrite(
+            str(img_dir / f"im{i}.png"),
+            rng.integers(0, 255, size=(IMG, IMG, 3)).astype(np.uint8),
+        )
+        np.savez(
+            pred_dir / f"im{i}_pred.npz",
+            shape_mode=rng.normal(scale=0.3, size=10).astype(np.float32),
+            pose_axisangle_point_est=init_pose[i],
+            glob_rotmat=np.eye(3, dtype=np.float32),
+            cam_wp=np.array([0.9, 0.0, 0.0], np.float32),
+            input_feats=rng.normal(size=512).astype(np.float32),
+            cropped_joints2D=rng.uniform(4, IMG - 4, size=(17, 2)).astype(np.float32),
+            hrnet_joints2D_conf=np.full(17, 0.9, np.float32),
+        )
+
+    cfg_path = tmp_path / "small.yaml"
+    cfg_path.write_text(f"DATA:\n  PROXY_REP_SIZE: {IMG}\n")
+    opt_cfg_path = tmp_path / "opt.yaml"
+    opt_cfg_path.write_text("NUM_ITERS: 3\nLR: 0.01\n")
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    run_optimise = importlib.import_module("run_optimise")
+    out_dir = tmp_path / "opt_out"
+    monkeypatch.setattr(sys, "argv", [
+        "run_optimise.py", "-I", str(img_dir), "-P", str(pred_dir),
+        "-S", str(out_dir), "-C", tar_path, "--cfg", str(cfg_path),
+        "--optimise_cfg", str(opt_cfg_path), "--no_visualise",
+    ])
+    run_optimise.main()
+
+    for i in range(2):
+        d = np.load(out_dir / f"im{i}_opt.npz")
+        assert d["pose_axisangle"].shape == (23, 3)
+        assert d["shape"].shape == (10,)
+        assert np.isfinite(d["pose_axisangle"]).all()
+        assert np.isfinite(d["shape"]).all()
+        assert np.isfinite(d["cam_wp"]).all()
+        # the optimiser actually stepped from the predict-stage init
+        assert np.abs(d["pose_axisangle"] - init_pose[i]).max() > 1e-6
