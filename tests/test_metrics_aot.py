@@ -20,6 +20,8 @@ slow jit path with zero signal.  These tests pin that:
 Capability accelerated: reference metrics/eval_metrics_tracker.py:119-433.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -221,17 +223,30 @@ def test_pipeline_metric_warm_hits_end_to_end(tmp_path, monkeypatch):
         assert np.isfinite(final[m])
 
     # mesh path: warm is not spawned (executable would be compiled for
-    # single-device shardings) — the jit path serves every batch
-    from humaniflow_tpu.parallel import make_mesh, replicate
+    # single-device shardings) — the jit path serves every batch.  Runs in
+    # a SUBPROCESS with one retry: this exact multi-device dispatch hits an
+    # intermittent silent XLA:CPU runtime abort on this host even in a
+    # fresh process (tests/_mesh_eval_subproc.py docstring — upstream
+    # runtime issue, not a framework bug; TPU collectives don't share the
+    # failing host-thread rendezvous machinery).
+    import json
+    import subprocess
+    import sys as _sys
 
-    created.clear()
-    mesh = make_mesh(8)
-    final_m = E.evaluate_humaniflow(
-        model, replicate(params, mesh), *smpls, cfg, _FakeEvalDataset(n=6),
-        metrics, batch_size=2, num_pred_samples=2, mesh=mesh,
-    )
-    (tracker_m,) = created
-    assert tracker_m._aot is None
-    assert tracker_m._aot_hits == 0
-    for m in metrics:
-        np.testing.assert_allclose(final_m[m], final[m], rtol=1e-4)
+    expected = json.dumps({m: float(final[m]) for m in metrics})
+    here = os.path.dirname(os.path.abspath(__file__))
+    for attempt in range(2):
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(here, "_mesh_eval_subproc.py"),
+             expected],
+            capture_output=True, text=True, timeout=1800,
+            cwd=here,
+        )
+        if proc.returncode == 0:
+            assert "MESH_EVAL_OK" in proc.stdout
+            break
+        aborted = proc.returncode in (-6, 134)  # SIGABRT
+        assert aborted and attempt == 0, (
+            f"mesh-half subprocess failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )
