@@ -21,6 +21,7 @@ normalizing flows on SO(3) — redesigned for XLA:
   `pose_log_prob` (flows/so3_flow.py) — no caching, no clear_cache.
 """
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -28,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.defaults import ModelConfig
+from ..flows import pallas_level
 from ..flows.factory import ConditionalFlow, create_conditional_norm_flow
 from ..flows.so3_flow import SO3FlowDistribution
 from ..ops.rotation import rot6d_to_rotmat, rotmat_to_rot6d
@@ -251,6 +253,23 @@ class HumaniflowModel:
             lambda a: jnp.tensordot(oh, a, axes=1, precision=hi), params["flows"]
         )
 
+    def _fused_level_enabled(self) -> bool:
+        """Whether the AR loop routes each level's flow forward through the
+        fused Pallas kernel (flows/pallas_level.py).  Default OFF — the
+        kernel was built to MEASURE the r4 "fused level would win ≤2 ms"
+        estimate and the measurement came back negative: one level's flow
+        stack is 0.136 ms in XLA vs 0.158 ms fused, full 8-level AR
+        2.94 ms XLA vs 3.13 ms fused at B·N=3232 on TPU v5e
+        (scripts/profile_ar_fused.py; docs/DESIGN.md "AR dispatch bound,
+        measured").  The AR loop is dominated by the sequential
+        context/select/exp/blend matmuls, not flow op dispatch.  Kept as
+        an opt-in (HFT_FUSED_LEVEL=1) measured prototype; off-TPU it runs
+        in interpret mode (test-only, slow)."""
+        mode = os.environ.get("HFT_FUSED_LEVEL", "auto")
+        if mode not in ("1", "on"):
+            return False
+        return pallas_level.supports_flow(self.flow)
+
     def _autoregress(self, params, isgc, key=None, zero_sample0=False):
         """Run the depth-level AR loop.
 
@@ -268,13 +287,15 @@ class HumaniflowModel:
         batch_shape = isgc.shape[:-1]
         so3_buf = jnp.zeros(batch_shape + (self.num_bodyparts, 3), isgc.dtype)
         rot_buf = jnp.zeros(batch_shape + (self.num_bodyparts, 3, 3), isgc.dtype)
+        fused = self._fused_level_enabled()
+        interpret = fused and jax.default_backend() != "tpu"
         if key is not None:
             level_keys = jax.random.split(key, len(self.levels))
         for li, parts in enumerate(self.levels):
             ctx = self._part_contexts(params, parts, isgc, rot_buf)  # (...,P,C)
             flow_p = self._part_flow_params(params, parts)
             if key is None:
-                x = self.flow.mode_estimate(flow_p, ctx)  # (..., P, 3)
+                z = jnp.zeros(ctx.shape[:-1] + (3,), ctx.dtype)  # flow mode
             else:
                 z_shape = ctx.shape[:-1] + (3,)
                 if zero_sample0:
@@ -291,6 +312,12 @@ class HumaniflowModel:
                         jax.random.normal(level_keys[li], z_shape, ctx.dtype)
                         * self.flow.base_dist_std
                     )
+            if fused:
+                packed = pallas_level.pack_level_weights(self.flow, flow_p)
+                x = pallas_level.flow_forward_level(
+                    self.flow, packed, z, ctx, interpret=interpret
+                )
+            else:
                 x = self.flow.forward(flow_p, z, ctx)
             r = so3_exp(x)
             # scatter-free buffer update: one-hot blend over the part axis
