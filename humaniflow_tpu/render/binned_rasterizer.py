@@ -231,7 +231,7 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
 
 def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
                n_coef=_NCOEF, cull_sign=0, tall_cap=None, z_order=True,
-               live_cap=None, strip_rows=STRIP_ROWS):
+               live_cap=None, strip_rows=STRIP_ROWS, gather_coefs=True):
     """Per-batch-element binning: (F, 9) screen tris → per-strip face tables.
 
     Returns (bounds (S, 2) int32 [lo, hi) slot windows, fids (S, K_slots),
@@ -345,7 +345,14 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     if tall_cap is not None and row_cand > main_rows:
         tall_m = (r1 - r0 > main_rows - 1) & keep_all & (r1 >= 0) & (r0 < n_row)
         n_tall = tall_m.sum().astype(jnp.int32)
-        tidx = jnp.nonzero(tall_m, size=tall_cap, fill_value=0)[0].astype(jnp.int32)
+        # ascending tall fids via a masked sort — same indices as
+        # jnp.nonzero(size=tall_cap, fill_value=·)[0] for the first n_tall
+        # slots (the only ones tvalid exposes), but ~9x cheaper on TPU:
+        # nonzero's cumsum+scatter lowering measured 131 µs/mesh at
+        # coverage scale vs ~15 µs for the 14k-element sort
+        # (scripts/profile_coverage_parts.py extra2).
+        marked = jnp.where(tall_m, fid, fid + (1 << 20))
+        tidx = (jnp.sort(marked)[:tall_cap] & ((1 << 20) - 1)).astype(jnp.int32)
         tvalid = jnp.arange(tall_cap, dtype=jnp.int32) < n_tall
         packed += entries(
             range(main_rows, row_cand),
@@ -381,6 +388,14 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
     fids = vals.reshape(-1, FACE_CHUNK)[ridx].reshape(s, -1)  # (S, K_slots)
     lo = start[:-1] - row_lo * FACE_CHUNK
     bounds = jnp.stack([lo, lo + counts], axis=-1)  # (S, 2)
+
+    if not gather_coefs:
+        # table-mode caller (coverage): the kernel looks coefficients up
+        # from an SMEM-resident per-mesh table by face id, so the per-slot
+        # coefficient gather — the binning's single largest cost — is
+        # skipped entirely.  live_cap is moot (nothing is gathered), so
+        # this path also has NO live drops.
+        return bounds, fids, None, overflow, jnp.zeros((), jnp.int32)
 
     coefs = _edge_plane_coeffs(tri)[..., :n_coef]  # (F, n_coef)
     if extra_rows is not None:
@@ -585,11 +600,84 @@ def _make_coverage_kernel(n_col_strips, strip_rows=STRIP_ROWS):
     return kernel
 
 
+def _make_coverage_table_kernel(n_col_strips, strip_rows=STRIP_ROWS):
+    """Coverage kernel with IN-KERNEL coefficient lookup.
+
+    Candidates arrive as face ids (the sorted fids window, SMEM int32) and
+    the per-mesh edge-coefficient table (8, F_pad) stays SMEM-RESIDENT
+    across the strip grid dimension (its index_map is constant over the
+    innermost grid dim, so Mosaic fetches it once per mesh).  This removes
+    the XLA-side per-slot coefficient gather — the live-prefix random
+    gather (118 µs/mesh) plus the 128-aligned row gathers (~38 µs/mesh)
+    were the single largest binning cost
+    (scripts/profile_coverage_parts.py) — and shrinks the per-instance
+    SMEM window 6x (int32 fids vs 6 f32 coefficient rows).  Per-candidate
+    work gains one scalar load (the fid) over _make_coverage_kernel;
+    coverage semantics are identical."""
+
+    def kernel(bounds_ref, fids_ref, table_ref, cover_ref):
+        si = pl.program_id(1)
+        row0 = ((si // n_col_strips) * strip_rows).astype(jnp.float32)
+        col0 = ((si % n_col_strips) * STRIP_COLS).astype(jnp.float32)
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, (strip_rows, STRIP_COLS), 0)
+            .astype(jnp.float32) + row0 + 0.5
+        )
+        gx = (
+            jax.lax.broadcasted_iota(jnp.int32, (strip_rows, STRIP_COLS), 1)
+            .astype(jnp.float32) + col0 + 0.5
+        )
+
+        lo = bounds_ref[0, 0, 0, 0]
+        hi = bounds_ref[0, 0, 0, 1]
+        k_last = fids_ref.shape[-1] - 1
+
+        def candidate(k):
+            # clamp: the unrolled tail can index up to hi+3 — stay inside
+            # the SMEM window (the value is masked by `k < hi` below)
+            kk = jnp.minimum(k, k_last)
+            fid = fids_ref[0, 0, 0, kk]
+            w0 = (
+                table_ref[0, 0, fid] * gx
+                + table_ref[0, 1, fid] * gy
+                + table_ref[0, 2, fid]
+            )
+            w1 = (
+                table_ref[0, 3, fid] * gx
+                + table_ref[0, 4, fid] * gy
+                + table_ref[0, 5, fid]
+            )
+            w2 = 1.0 - w0 - w1  # same rounding as the full kernel
+            return jnp.minimum(jnp.minimum(w0, w1), w2) >= 0
+
+        # 32-wide unroll with a tree-OR: the scalar fid/coefficient loads
+        # pipeline against the vector FMAs and the loop-carried select
+        # chain shrinks 32x — the straight loop was scalar-load latency
+        # bound (kernel 287 µs/mesh straight, 246 at 4-wide, 203 at
+        # 32-wide; whole path 586 -> 337 µs/mesh with the sort-based tall
+        # select and the in-kernel table — docs/DESIGN.md r5)
+        def body(i, cover):
+            k = lo + i * 32
+            ins = None
+            for d in range(0, 32, 2):
+                pair = (candidate(k + d) & (k + d < hi)) | (
+                    candidate(k + d + 1) & (k + d + 1 < hi)
+                )
+                ins = pair if ins is None else ins | pair
+            return jnp.where(ins, 1.0, cover)
+
+        n_iter = (hi - lo + 31) // 32
+        init = jnp.zeros((strip_rows, STRIP_COLS), jnp.float32)
+        cover_ref[0] = jax.lax.fori_loop(0, n_iter, body, init)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "image_size", "k_max", "row_cand", "cull_sign", "tall_cap", "live_cap",
-        "strip_rows",
+        "strip_rows", "table_mode",
     ),
 )
 def rasterize_binned_coverage(
@@ -602,15 +690,22 @@ def rasterize_binned_coverage(
     tall_cap: int = 4096,
     live_cap: int = 32768,
     strip_rows: int = STRIP_ROWS,
+    table_mode: bool = True,
 ):
     """Coverage-only binned rasterization — the silhouette hot path.
 
-    Same binning as `rasterize_binned` but gathers only the 6 edge
-    -coefficient rows and runs a no-z/no-attribute kernel: ~3x cheaper per
-    mesh than the full binned raster and ~3x cheaper than the exact XLA
-    coverage scan at SSP-3D sample-silhouette scale (docs/DESIGN.md
-    "Evaluation-protocol performance").
+    Same binning as `rasterize_binned` but runs a no-z/no-attribute kernel:
+    ~3x cheaper per mesh than the full binned raster and ~3x cheaper than
+    the exact XLA coverage scan at SSP-3D sample-silhouette scale
+    (docs/DESIGN.md "Evaluation-protocol performance").
 
+    :param table_mode: True (default) looks edge coefficients up INSIDE the
+        kernel from a per-mesh SMEM-resident (8, F_pad) table indexed by
+        face id, skipping the per-slot coefficient gather that dominated
+        the binning prologue (156 µs of 586 µs/mesh,
+        scripts/profile_coverage_parts.py).  In this mode live_cap is
+        unused (nothing is gathered, so nothing can be live-dropped).
+        False keeps the round-3 pre-gathered-window kernel.
     :return: (mask (B, H, W) bool, overflow (B,) int32).  The mask is
         EXACT (identical to rasterizer.rasterize_coverage) whenever the
         overflow count is 0 — callers on metric-bearing paths should check
@@ -632,13 +727,47 @@ def rasterize_binned_coverage(
         lambda t: _bin_faces(
             t, f, h, w, k_max, row_cand, n_coef=6, cull_sign=cull_sign,
             tall_cap=tall_cap, z_order=False, live_cap=live_cap,
-            strip_rows=strip_rows,
+            strip_rows=strip_rows, gather_coefs=not table_mode,
         )
     )(tri)
 
     k_slots = k_max + FACE_CHUNK
     grid = (b, s)
     bounds_in = bounds.reshape(b, s, 1, 2)
+    if table_mode:
+        coefs6 = jax.vmap(lambda t: _edge_plane_coeffs(t)[..., :6])(tri)
+        f_pad = -(-f // FACE_CHUNK) * FACE_CHUNK
+        table = jnp.pad(
+            coefs6.swapaxes(-1, -2), ((0, 0), (0, 2), (0, f_pad - f))
+        )  # (b, 8, F_pad): 6 coefficient rows sublane-padded to 8
+        fids_in = fids.reshape(b, s, 1, k_slots)
+        cover = pl.pallas_call(
+            _make_coverage_table_kernel(n_col_strips, strip_rows),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 2), lambda bi, si: (bi, si, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, k_slots), lambda bi, si: (bi, si, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 8, f_pad), lambda bi, si: (bi, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, strip_rows, STRIP_COLS),
+                    lambda bi, si: (bi, si // n_col_strips, si % n_col_strips),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.float32)],
+        )(bounds_in, fids_in, table)[0]
+        return cover > 0.5, overflow
     coefs_in = coefs.swapaxes(-1, -2)  # (b, s, 6, k_slots)
     cover = pl.pallas_call(
         _make_coverage_kernel(n_col_strips, strip_rows),

@@ -661,13 +661,16 @@ class TexturedIUVRenderer:
         screen = self._sil_screen(vertices, cam_wp)
         # TALL (64-row) strips + back-face culling.  Coverage has no
         # z-buffer, so unlike the train render the kernel cost is binning
-        # -bound (sort + gather + key build ≈ 0.45 of 0.65 ms/mesh at
-        # 32 rows), not edge-test-bound — and a body face (~2-6 px tall)
+        # -bound, not edge-test-bound — and a body face (~2-6 px tall)
         # almost never crosses a tall strip boundary, so taller strips cut
         # sort keys and kernel instances: 8-row 1.23 → 32-row 0.652 →
         # 64-row 0.608 ms/mesh, with 2.5-4x LOWER overflow on hard draws
-        # (0/175/1061 vs 0/449/3972 at pose-scale 0.25/0.6/0.9;
-        # docs/DESIGN.md "Evaluation-protocol performance").  Culling is
+        # (0/175/1061 vs 0/449/3972 at pose-scale 0.25/0.6/0.9).  Round 5
+        # cut it further to 0.337 ms/mesh: the tall-face nonzero became a
+        # masked sort and the coefficient gather moved INTO the kernel
+        # (table_mode, an SMEM-resident per-mesh coefficient table +
+        # 32-wide unrolled candidate loop — docs/DESIGN.md
+        # "Evaluation-protocol performance", Round 5).  Culling is
         # near-exact for the consistently-wound SMPL body: the DensePose
         # face table is 13,774 faces (2 short of the closed 13,776), so a
         # pixel seen through the seam hole keeps only its back face —
