@@ -74,7 +74,7 @@ def _edge_plane_coeffs(tri: jax.Array) -> jax.Array:
 
 
 def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
-                 emit_frags=True):
+                 emit_frags=True, table_mode=False):
     """Kernel for one (batch, strip, face-chunk) instance.
 
     bounds_ref: SMEM (1, 1, 1, 2)          — live slot window [lo, hi)
@@ -110,11 +110,44 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
     n_attr = n_lin + n_const + (2 if z_grads else 0)
 
     def kernel(bounds_ref, coef_ref, *rest):
+        # table_mode: coef_ref is the fids window; rest[0] is the FULL
+        # (B, R_pad, F_pad) coefficient table left in HBM (ANY space) and
+        # the trailing scratch args are an SMEM table buffer + DMA
+        # semaphore.  The per-mesh slab is DMA'd into the scratch ONCE per
+        # mesh (first inner grid instance) — a pipelined SMEM input would
+        # be double-buffered by Mosaic and a 16-row table at SMPL scale
+        # (884 KB) exceeds SMEM ×2 (measured AOT OOM; docs/DESIGN.md r5).
+        # Candidates are then looked up by face id in-kernel, no
+        # pre-gathered windows (same design as _make_coverage_table_kernel).
+        table_ref = None
+        if table_mode:
+            fids_ref = coef_ref
+            table_hbm_ref, *rest = rest
+            *rest, table_ref, dma_sem = rest
         if emit_frags:
-            fid_ref, depth_ref, face_ref, b0_ref, b1_ref, *attr_refs = rest
+            if table_mode:
+                fid_ref = fids_ref
+                depth_ref, face_ref, b0_ref, b1_ref, *attr_refs = rest
+            else:
+                fid_ref, depth_ref, face_ref, b0_ref, b1_ref, *attr_refs = rest
         else:
             depth_ref, *attr_refs = rest
         ck = pl.program_id(2)
+
+        if table_mode:
+            bi = pl.program_id(0)
+            si0 = pl.program_id(1)
+
+            @pl.when((si0 == 0) & (ck == 0))
+            def _fetch_table():
+                # grid iterates (b, s, chunk) row-major on one core, and
+                # scratch persists across instances: fetch-and-wait here
+                # makes the slab visible to every later (si, ck) of this bi
+                cp = pltpu.make_async_copy(
+                    table_hbm_ref.at[bi], table_ref, dma_sem
+                )
+                cp.start()
+                cp.wait()
 
         @pl.when(ck == 0)
         def _init():
@@ -152,22 +185,18 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
             # the per-slot `live` mask and skipping dead slots entirely.
             def candidate(k, carry, valid=None):
                 depth = carry[0]
-                w0 = (
-                    coef_ref[0, 0, 0, k] * gx
-                    + coef_ref[0, 0, 1, k] * gy
-                    + coef_ref[0, 0, 2, k]
-                )
-                w1 = (
-                    coef_ref[0, 0, 3, k] * gx
-                    + coef_ref[0, 0, 4, k] * gy
-                    + coef_ref[0, 0, 5, k]
-                )
+                if table_mode:
+                    fid = fids_ref[0, 0, 0, k]
+
+                    def C(r):
+                        return table_ref[r, fid]
+                else:
+                    def C(r):
+                        return coef_ref[0, 0, r, k]
+                w0 = C(0) * gx + C(1) * gy + C(2)
+                w1 = C(3) * gx + C(4) * gy + C(5)
                 w2 = 1.0 - w0 - w1
-                z = (
-                    coef_ref[0, 0, 6, k] * gx
-                    + coef_ref[0, 0, 7, k] * gy
-                    + coef_ref[0, 0, 8, k]
-                )
+                z = C(6) * gx + C(7) * gy + C(8)
                 take = (
                     (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0) & (z < depth)
                 )
@@ -176,30 +205,26 @@ def _make_kernel(n_col_strips, n_lin=0, n_const=0, z_grads=False,
                 out = [jnp.where(take, z, depth)]
                 i = 1
                 if emit_frags:
-                    fid = fid_ref[0, 0, 0, k]
+                    if not table_mode:
+                        fid = fid_ref[0, 0, 0, k]
                     out.append(jnp.where(take, fid, carry[i]))
                     out.append(jnp.where(take, w0, carry[i + 1]))
                     out.append(jnp.where(take, w1, carry[i + 2]))
                     i += 3
                 for j in range(n_lin):
                     val = (
-                        coef_ref[0, 0, 9 + 3 * j, k] * w0
-                        + coef_ref[0, 0, 10 + 3 * j, k] * w1
-                        + coef_ref[0, 0, 11 + 3 * j, k]
+                        C(9 + 3 * j) * w0
+                        + C(10 + 3 * j) * w1
+                        + C(11 + 3 * j)
                     )
                     out.append(jnp.where(take, val, carry[i]))
                     i += 1
                 for j in range(n_const):
-                    c = coef_ref[0, 0, 9 + 3 * n_lin + j, k]
-                    out.append(jnp.where(take, c, carry[i]))
+                    out.append(jnp.where(take, C(9 + 3 * n_lin + j), carry[i]))
                     i += 1
                 if z_grads:
-                    out.append(
-                        jnp.where(take, coef_ref[0, 0, 6, k], carry[i])
-                    )
-                    out.append(
-                        jnp.where(take, coef_ref[0, 0, 7, k], carry[i + 1])
-                    )
+                    out.append(jnp.where(take, C(6), carry[i]))
+                    out.append(jnp.where(take, C(7), carry[i + 1]))
                     i += 2
                 return tuple(out)
 
@@ -430,7 +455,7 @@ def _bin_faces(tri, f, h, w, k_max, row_cand=_ROW_CAND, extra_rows=None,
 def _rasterize_binned_impl(
     verts_screen, faces, image_size, k_max, row_cand,
     lin_attrs=None, const_attrs=None, z_grads=False, emit_frags=True,
-    tall_cap=None, live_cap=None, cull_sign=0,
+    tall_cap=None, live_cap=None, cull_sign=0, table_mode=False,
 ):
     b, v, _ = verts_screen.shape
     f = faces.shape[0]
@@ -457,7 +482,40 @@ def _rasterize_binned_impl(
     n_attr_out = n_lin + n_const + (2 if z_grads else 0)
 
     tri = verts_screen[:, faces].reshape(b, f, 9)
-    if extra is None:
+    if table_mode:
+        # SMEM budget gate: the single-buffered scratch table must fit in
+        # the ~1 MB scalar memory beside the fid windows.  16 rows at
+        # SMPL/DensePose scale (13824 faces) = 884 KB fits; the 25-row
+        # vertex-texel / verts-features configs do not — fall back to the
+        # gathered-window path rather than fail at Mosaic layout time.
+        r_pad_try = -(-n_rows // 8) * 8
+        f_pad_try = -(-f // FACE_CHUNK) * FACE_CHUNK
+        if r_pad_try * f_pad_try * 4 > 900_000:
+            table_mode = False
+    if table_mode:
+        # in-kernel coefficient lookup (r5): binning emits only the sorted
+        # fid windows; the kernel reads coefficients by face id from a
+        # per-mesh SMEM-resident (R_pad, F_pad) table.  Removes the
+        # per-slot coefficient gather (the largest binning cost — 43 ms of
+        # the 107 ms render at B=72 training scale) AND the possibility of
+        # live_cap content drops (nothing is gathered).
+        bounds, fids, _, overflow, live_drop = jax.vmap(
+            lambda t: _bin_faces(t, f, h, w, k_max, row_cand,
+                                 tall_cap=tall_cap, cull_sign=cull_sign,
+                                 gather_coefs=False)
+        )(tri)
+        coefs9 = jax.vmap(_edge_plane_coeffs)(tri)  # (b, f, 9)
+        table = (
+            jnp.concatenate([coefs9, extra], axis=-1)
+            if extra is not None else coefs9
+        )
+        r_pad = -(-n_rows // 8) * 8
+        f_pad = -(-f // FACE_CHUNK) * FACE_CHUNK
+        table = jnp.pad(
+            table.swapaxes(-1, -2),
+            ((0, 0), (0, r_pad - n_rows), (0, f_pad - f)),
+        )  # (b, R_pad, F_pad)
+    elif extra is None:
         bounds, fids, coefs, overflow, live_drop = jax.vmap(
             lambda t: _bin_faces(t, f, h, w, k_max, row_cand, tall_cap=tall_cap,
                                  live_cap=live_cap, cull_sign=cull_sign)
@@ -472,13 +530,15 @@ def _rasterize_binned_impl(
     k_slots = k_max + FACE_CHUNK
     num_chunks = k_slots // FACE_CHUNK
     grid = (b, s, num_chunks)
-    kernel = _make_kernel(n_col_strips, n_lin, n_const, z_grads, emit_frags)
+    kernel = _make_kernel(n_col_strips, n_lin, n_const, z_grads, emit_frags,
+                          table_mode=table_mode)
     # SMEM blocks: last two dims must equal the array's — lay the (strip,
     # chunk) axes out flat so every block is a full trailing slab
     bounds_in = bounds.reshape(b, s, 1, 2)
-    coefs_in = coefs.reshape(
-        b, s * num_chunks, FACE_CHUNK, n_rows
-    ).swapaxes(-1, -2)  # (…, n_rows, FACE_CHUNK) — lane-major chunks
+    if not table_mode:
+        coefs_in = coefs.reshape(
+            b, s * num_chunks, FACE_CHUNK, n_rows
+        ).swapaxes(-1, -2)  # (…, n_rows, FACE_CHUNK) — lane-major chunks
     n_frag_out = 4 if emit_frags else 1
     out_shapes = [jax.ShapeDtypeStruct((b, h, w), jnp.float32)]
     if emit_frags:
@@ -493,22 +553,46 @@ def _rasterize_binned_impl(
             (1, 1, 1, 2), lambda bi, si, ck: (bi, si, 0, 0),
             memory_space=pltpu.SMEM,
         ),
-        pl.BlockSpec(
-            (1, 1, n_rows, FACE_CHUNK),
-            lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
-            memory_space=pltpu.SMEM,
-        ),
     ]
-    inputs = [bounds_in, coefs_in]
-    if emit_frags:
-        in_specs.append(
+    inputs = [bounds_in]
+    scratch_shapes = []
+    if table_mode:
+        # fid window per chunk + the per-mesh coefficient table.  The
+        # table stays in HBM (ANY space) and is DMA'd into a
+        # SINGLE-buffered SMEM scratch once per mesh inside the kernel —
+        # as a pipelined SMEM input Mosaic double-buffers it and
+        # R_pad·F_pad·4 B ×2 exceeds the 1 MB SMEM at SMPL scale.
+        in_specs += [
             pl.BlockSpec(
                 (1, 1, 1, FACE_CHUNK),
                 lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
                 memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [fids.reshape(b, s * num_chunks, 1, FACE_CHUNK), table]
+        scratch_shapes = [
+            pltpu.SMEM((r_pad, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, n_rows, FACE_CHUNK),
+                lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                memory_space=pltpu.SMEM,
             )
         )
-        inputs.append(fids.reshape(b, s * num_chunks, 1, FACE_CHUNK))
+        inputs.append(coefs_in)
+        if emit_frags:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, FACE_CHUNK),
+                    lambda bi, si, ck: (bi, si * num_chunks + ck, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            inputs.append(fids.reshape(b, s * num_chunks, 1, FACE_CHUNK))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -522,6 +606,7 @@ def _rasterize_binned_impl(
         ]
         * (n_frag_out + n_attr_out),
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
     )(*inputs)
     depth = outs[0]
     attr_planes = outs[n_frag_out:]
@@ -827,7 +912,7 @@ def rasterize_binned(
     jax.jit,
     static_argnames=(
         "image_size", "k_max", "row_cand", "z_grads", "emit_frags", "tall_cap",
-        "live_cap", "cull_sign",
+        "live_cap", "cull_sign", "table_mode",
     ),
 )
 def rasterize_binned_with_attrs(
@@ -843,6 +928,7 @@ def rasterize_binned_with_attrs(
     tall_cap=None,
     live_cap=None,
     cull_sign: int = 0,
+    table_mode: bool = False,
 ):
     """Binned rasterization with in-kernel (ROP-style) attribute
     interpolation: the winner's attributes are emitted as image planes
@@ -868,6 +954,15 @@ def rasterize_binned_with_attrs(
         test mesh, whose random blendshapes cross faces) exposes interior
         back faces where culled winners differ (masks stay identical,
         measured 100%) — keep 0 there.
+    :param table_mode: look coefficients up in-kernel from a per-mesh
+        SMEM-resident (R_pad, F_pad) table by face id instead of gathering
+        per-slot coefficient windows — removes the binning's largest cost
+        and makes live_cap moot (no gather, no live drops; docs/DESIGN.md
+        r5).  The table is DMA'd into a SINGLE-buffered SMEM scratch once
+        per mesh (a pipelined input would be double-buffered and OOM), so
+        the bound is R_pad·F_pad·4 B ≤ ~1 MB SMEM minus the fid windows
+        (R = 9 + 3·K_lin + K_const; 16 rows at DensePose scale = 884 KB —
+        fits; a 3-lin-attr config at 19+ rows does not).
     :return: (Fragments, planes (B, H, W, K_lin+K_const[+2]), overflow,
         live_drop); plane values are 0 on uncovered pixels.  `overflow` is
         the union of all drop sources; `live_drop` (B,) counts only the
@@ -878,5 +973,5 @@ def rasterize_binned_with_attrs(
         verts_screen, faces, image_size, k_max, row_cand,
         lin_attrs=lin_attrs, const_attrs=const_attrs, z_grads=z_grads,
         emit_frags=emit_frags, tall_cap=tall_cap, live_cap=live_cap,
-        cull_sign=cull_sign,
+        cull_sign=cull_sign, table_mode=table_mode,
     )

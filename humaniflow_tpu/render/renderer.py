@@ -190,6 +190,14 @@ class TexturedIUVRenderer:
     # bit-exact by construction (no seam-hole/overflow caveats) at ~3x the
     # cost.  scripts/run_evaluate.py --exact_silhouettes.
     silhouette_exact: bool = False
+    # binned backend: look edge/attribute coefficients up in-kernel from a
+    # per-mesh SMEM table (DMA'd once per mesh) instead of gathering
+    # per-slot coefficient windows — removes the binning's per-slot gather
+    # (the largest non-kernel cost at training scale) and the live_cap
+    # drop source entirely.  Auto-falls back to the gathered-window path
+    # for attribute configs whose table exceeds the SMEM budget (>16 rows:
+    # vertex-texel / verts-features modes).  docs/DESIGN.md r5.
+    binned_table_mode: bool = True
     # include "binning_overflow" (scalar int32) in the render output:
     # CONTENT-dropping candidates this call — i.e. the binned backend's
     # live_cap drops, which remove bottom-image-strip candidates outright
@@ -529,6 +537,7 @@ class TexturedIUVRenderer:
             emit_frags=False, live_cap=self.binned_live_cap,
             cull_sign=1 if self.binned_cull else 0,
             tall_cap=self.binned_tall_cap,
+            table_mode=self.binned_table_mode,
         )
         # the emitted counter is the CONTENT-dropping subset only (live_cap
         # drops): on this z-ordered path k_max overflow drops z-occluded

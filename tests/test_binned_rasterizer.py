@@ -720,3 +720,50 @@ def test_coverage_table_mode_bit_identical():
         sv, dp["faces"], 256, table_mode=False, **cfg)
     np.testing.assert_array_equal(np.asarray(m_new), np.asarray(m_old))
     np.testing.assert_array_equal(np.asarray(ov_new), np.asarray(ov_old))
+
+
+@requires_tpu
+def test_attrs_table_mode_matches_gather():
+    """The fused attribute kernel's table_mode (r5: per-mesh SMEM table
+    DMA'd once per mesh, single-buffered — a pipelined SMEM input would
+    double-buffer and OOM) matches the pre-gathered-window path at the
+    shipped TRAIN config (face-mode texels: 4 const attrs, no lin, culled)
+    on posed bodies: identical depth/masks/planes wherever nothing was
+    live-dropped on the gather path."""
+    from humaniflow_tpu.models import synthetic_smpl
+    from humaniflow_tpu.models.smpl import smpl_forward
+    from humaniflow_tpu.ops.so3 import so3_exp
+    from humaniflow_tpu.render.binned_rasterizer import (
+        BIG_DEPTH,
+        rasterize_binned_with_attrs,
+    )
+    from humaniflow_tpu.render.rasterizer import project_orthographic_screen
+    from humaniflow_tpu.render.renderer import load_densepose_uv
+
+    smpl = synthetic_smpl(num_verts=6890)
+    dp = load_densepose_uv(None)
+    b = 16
+    rng = np.random.default_rng(11)
+    pose_aa = jnp.asarray(rng.normal(scale=0.3, size=(b, 23, 3)), jnp.float32)
+    shape = jnp.asarray(rng.normal(size=(b, 10)), jnp.float32)
+    verts = smpl_forward(
+        smpl, shape, so3_exp(pose_aa), jnp.tile(jnp.eye(3), (b, 1, 1))
+    )["vertices"]
+    cam_wp = jnp.tile(jnp.asarray([[0.85, 0.0, 0.15]], jnp.float32), (b, 1))
+    sv = project_orthographic_screen(verts[:, dp["vertex_map"]], cam_wp, 256)
+    f = dp["faces"].shape[0]
+    const = jnp.asarray(rng.uniform(size=(b, f, 4)), jnp.float32)
+
+    kw = dict(const_attrs=const, emit_frags=False, k_max=896, row_cand=6,
+              cull_sign=1)
+    fr_t, pl_t, _, ld_t = rasterize_binned_with_attrs(
+        sv, dp["faces"], 256, table_mode=True, **kw)
+    fr_g, pl_g, _, ld_g = rasterize_binned_with_attrs(
+        sv, dp["faces"], 256, table_mode=False, live_cap=49152, **kw)
+    assert int(np.asarray(ld_g).sum()) == 0  # nothing live-dropped
+    assert int(np.asarray(ld_t).sum()) == 0  # table mode cannot drop
+    np.testing.assert_array_equal(
+        np.asarray(fr_t.depth < BIG_DEPTH), np.asarray(fr_g.depth < BIG_DEPTH)
+    )
+    np.testing.assert_array_equal(np.asarray(fr_t.depth), np.asarray(fr_g.depth))
+    np.testing.assert_array_equal(np.asarray(pl_t), np.asarray(pl_g))
